@@ -1,0 +1,135 @@
+"""M4/M6 — distributed co-occurrence embeddings + similarity model.
+
+The reference trains gensim Word2Vec (window=4, min_count=1) on the
+phrase-merged corpus and compares candidate terms with
+``relative_cosine_similarity`` (word_vectoriser_base.py:77-108,
+concepts/word2vec_wrapper.py:34-57). gensim is unavailable here and is
+nondeterministic with workers>1 anyway (SURVEY §7 R3), so this engine uses a
+deterministic distributed alternative with the same *interface*:
+
+- term vector = hashed-PPMI context vector: co-occurrence counts within a
+  +/-window, aggregated with one distributed groupBy (map-side combined),
+  context words feature-hashed into `dim` buckets, PPMI-weighted.
+  Only the candidate terms' vectors (<=100 x dim) are collected.
+- similarity(t1, t2) = 1 if equal/lemma-equal, else
+  rcs(t1,t2) + rcs(t2,t1), where rcs(a,b) = cos(a,b) / sum(top-10 |cos(a,x)|
+  over the candidate set) — the reference's relative-cosine scheme with the
+  neighbor set restricted to the terms actually being clustered.
+
+The *parity surface* is the synsets, not raw vectors (SURVEY §7 R3): the
+test oracle uses this same model.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from llm_review_aggregation_spark import textproc as tp
+
+
+def _bucket(word: str, dim: int) -> int:
+    return int.from_bytes(hashlib.md5(word.encode("utf-8")).digest()[:4], "big") % dim
+
+
+def cooccurrence_counts(sentences: DataFrame, terms: list[str], window: int, dim: int) -> DataFrame:
+    """(term, bucket, count) for candidate terms only.
+
+    Pairs are emitted by a pandas UDF (term occurrences x context window)
+    pre-aggregated per batch, then reduced by one distributed groupBy —
+    partial aggregation keeps skewed head terms cheap. Multi-word terms
+    match as raw word sequences.
+    """
+    term_tokens = [(t, tuple(t.split(" "))) for t in terms]
+
+    def gen(batches):
+        for pdf in batches:
+            out: dict[tuple[str, int], int] = {}
+            for toks in pdf["tokens"]:
+                toks = list(toks)
+                n = len(toks)
+                for term, tt in term_tokens:
+                    L = len(tt)
+                    for i in range(n - L + 1):
+                        if tuple(toks[i : i + L]) != tt:
+                            continue
+                        lo = max(0, i - window)
+                        hi = min(n, i + L + window)
+                        for j in range(lo, hi):
+                            if i <= j < i + L:
+                                continue
+                            key = (term, _bucket(toks[j], dim))
+                            out[key] = out.get(key, 0) + 1
+            yield pd.DataFrame(
+                [(t, b, c) for (t, b), c in out.items()],
+                columns=["term", "bucket", "count"],
+            )
+
+    pairs = sentences.select("tokens").mapInPandas(gen, "term string, bucket int, count long")
+    return pairs.groupBy("term", "bucket").agg(F.sum("count").alias("count"))
+
+
+class SimilarityModel:
+    """Driver-side similarity over collected candidate vectors."""
+
+    def __init__(self, terms: list[str], vectors: np.ndarray, topn: int = 10):
+        self.terms = list(terms)
+        self.index = {t: i for i, t in enumerate(self.terms)}
+        norms = np.linalg.norm(vectors, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        unit = vectors / norms
+        self.cos = unit @ unit.T  # (n, n) cosine matrix
+        n = len(self.terms)
+        self.topn_sum = np.zeros(n)
+        for i in range(n):
+            others = np.delete(self.cos[i], i)
+            if others.size:
+                top = np.sort(others)[::-1][:topn]
+                self.topn_sum[i] = float(np.sum(top))
+
+    def _rcs(self, a: int, b: int) -> float:
+        denom = self.topn_sum[a]
+        if denom <= 0:
+            return 0.0
+        return float(self.cos[a][b] / denom)
+
+    def similarity(self, t1: str, t2: str) -> float:
+        if t1 == t2 or tp.lemmatize_simple(t1) == tp.lemmatize_simple(t2):
+            return 1.0
+        i, j = self.index.get(t1), self.index.get(t2)
+        if i is None or j is None:
+            return 0.0
+        return self._rcs(i, j) + self._rcs(j, i)
+
+    def are_syns(self, t1: str, t2: str, threshold: float) -> bool:
+        if t1 == t2 or tp.lemmatize_simple(t1) == tp.lemmatize_simple(t2):
+            return True
+        return self.similarity(t2, t1) >= threshold
+
+
+def build_similarity_model(
+    sentences: DataFrame,
+    terms: list[str],
+    window: int = 4,
+    dim: int = 4096,
+    topn: int = 10,
+) -> SimilarityModel:
+    counts = cooccurrence_counts(sentences, terms, window, dim).collect()
+    idx = {t: i for i, t in enumerate(terms)}
+    vecs = np.zeros((len(terms), dim))
+    for row in counts:
+        vecs[idx[row["term"]], row["bucket"]] = row["count"]
+    # PPMI weighting
+    total = vecs.sum()
+    if total > 0:
+        row_sum = vecs.sum(axis=1, keepdims=True)
+        col_sum = vecs.sum(axis=0, keepdims=True)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            pmi = np.log((vecs * total) / (row_sum * col_sum))
+        pmi[~np.isfinite(pmi)] = 0.0
+        vecs = np.maximum(pmi, 0.0)
+    return SimilarityModel(terms, vecs, topn=topn)

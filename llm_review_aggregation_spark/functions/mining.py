@@ -1,0 +1,261 @@
+"""E3/E4/E6/E7 mining — phrase vocabulary, noun-term candidates, mention
+instances, glossary matches.
+
+Scale notes (the design constraints these functions satisfy):
+- Phrase-vocabulary discovery (T3) is a *corpus-global* aggregation: two
+  distributed groupBy passes (unigram+bigram counts; then the same over the
+  bigram-merged corpus). Catalyst gives partial (map-side) aggregation for
+  free, so skewed head tokens cost one combiner row per partition, not a
+  hot reducer. Only the *scored phrase table* (above-threshold pairs,
+  bounded by `max_phrase_vocab`) is collected and broadcast — never counts.
+- Mention mining (T7/T8/T9) joins every sentence against a dictionary.
+  The dictionary is <= top-k candidates (100) here, so it is a broadcast
+  into the UDF closure — the degenerate-but-optimal case of the
+  MinHash-LSH blocking + salted join the north star prescribes for large
+  dictionaries (operators/canonicalize.py holds the LSH path).
+
+Reference behavior being restated: ontology_bert/phrase_tokenizer.py:29-35
+(bigram->trigram Phrases), helpers.py:160-264 (POS n-grams + noun terms),
+helpers.py:10-157 (entity instances), helpers.py:267-420 (relation
+instances), arg_framework/review.py:138-171 (glossary matching).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import ArrayType, StringType
+
+from llm_review_aggregation_spark import textproc as tp
+
+
+# ---------------------------------------------------------------------------
+# T3: distributed gensim-style phrase vocabulary
+# ---------------------------------------------------------------------------
+
+
+def _adjacent_pairs(tokens_col):
+    """array<string> -> array<struct<a,b>> of adjacent pairs, JVM-side."""
+    return F.when(
+        F.size(tokens_col) >= 2,
+        F.arrays_zip(
+            F.slice(tokens_col, 1, F.size(tokens_col) - 1).alias("a"),
+            F.slice(tokens_col, 2, F.size(tokens_col) - 1).alias("b"),
+        ),
+    ).otherwise(F.array())
+
+
+def _scored_pairs(tok_df: DataFrame, min_count: int, threshold: float, max_vocab: int) -> list[tuple[str, str]]:
+    """One gensim-Phrases pass over a DataFrame with a `tokens` column:
+    returns adjacent pairs whose score
+    (c_ab - min_count) * vocab_size / (c_a * c_b) > threshold.
+
+    vocab_size counts distinct unigrams + distinct bigrams, matching the
+    reference library's vocabulary bookkeeping.
+    """
+    uni = (
+        tok_df.select(F.explode("tokens").alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    bi = (
+        tok_df.select(F.explode(_adjacent_pairs(F.col("tokens"))).alias("p"))
+        .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+    )
+    uni = uni.cache()
+    bi = bi.cache()
+    n_uni = uni.count()
+    n_bi = bi.count()
+    vocab_size = n_uni + n_bi
+
+    ua = uni.select(F.col("t").alias("a"), F.col("c").alias("c_a"))
+    ub = uni.select(F.col("t").alias("b"), F.col("c").alias("c_b"))
+    scored = (
+        bi.join(F.broadcast(ua), "a")
+        .join(F.broadcast(ub), "b")
+        .withColumn(
+            "score",
+            (F.col("c_ab") - F.lit(min_count)) * F.lit(float(vocab_size)) / (F.col("c_a") * F.col("c_b")),
+        )
+        .filter(F.col("score") > threshold)
+        .orderBy(F.desc("score"), "a", "b")
+        .limit(max_vocab)
+    )
+    pairs = [(r["a"], r["b"]) for r in scored.select("a", "b").collect()]
+    uni.unpersist()
+    bi.unpersist()
+    return pairs
+
+
+def make_apply_phrases_udf(pairs: set[tuple[str, str]]):
+    @pandas_udf(ArrayType(StringType()))
+    def apply_phrases_udf(tokens: pd.Series) -> pd.Series:
+        return tokens.map(lambda ts: tp.apply_phrases(list(ts), pairs))
+
+    return apply_phrases_udf
+
+
+def build_phrase_vocab(
+    sentences: DataFrame,
+    min_count: int = 1,
+    threshold: float = 4.0,
+    max_vocab: int = 100_000,
+) -> set[tuple[str, str]]:
+    """Two-pass bigram->trigram phrase table (phrase_tokenizer.py:29-35).
+
+    Pass 2 scores pairs over the bigram-merged corpus; per the reference's
+    application quirk (helpers.ngrams applies the final Phraser to *raw*
+    tokens), the returned table is the pass-2 table and is applied to raw
+    token lists downstream.
+    """
+    tok = sentences.select("tokens")
+    pairs1 = set(_scored_pairs(tok, min_count, threshold, max_vocab))
+    merged = tok.select(make_apply_phrases_udf(pairs1)(F.col("tokens")).alias("tokens"))
+    pairs2 = set(_scored_pairs(merged, min_count, threshold, max_vocab))
+    return pairs2
+
+
+# ---------------------------------------------------------------------------
+# T4/T5 + A1/A2: noun-term candidates
+# ---------------------------------------------------------------------------
+
+
+def make_noun_terms_udf(pairs: set[tuple[str, str]]):
+    @pandas_udf(ArrayType(StringType()))
+    def noun_terms_udf(tokens: pd.Series) -> pd.Series:
+        def go(ts):
+            ts = list(ts)
+            merged = tp.apply_phrases(ts, pairs)
+            ngrams = tp.pos_filtered_ngrams(ts, merged)
+            return tp.noun_terms(ts, ngrams)
+
+        return tokens.map(go)
+
+    return noun_terms_udf
+
+
+def count_noun_terms(sentences: DataFrame, pairs: set[tuple[str, str]]) -> DataFrame:
+    """sentences -> term_counts(term, count). Map-side combine via Catalyst."""
+    udf = make_noun_terms_udf(pairs)
+    return (
+        sentences.select(F.explode(udf(F.col("tokens"))).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("count"))
+    )
+
+
+def top_candidates(term_counts: DataFrame, n: int) -> DataFrame:
+    """A2 with the lexicographic tiebreak pinned (SURVEY §7 R1)."""
+    return term_counts.orderBy(F.desc("count"), F.asc("term")).limit(n)
+
+
+# ---------------------------------------------------------------------------
+# T7: entity-instance mining
+# ---------------------------------------------------------------------------
+
+_ENTITY_SCHEMA = "url string, group_id string, sent_id int, masked_tokens array<string>, entity_idx int, entity string"
+
+
+def mine_entity_instances(sentences: DataFrame, entities: list[str]) -> DataFrame:
+    """sentences x broadcast(candidate terms) -> entity instances.
+
+    `entities` must be in candidate rank order (count desc, term asc) —
+    match priority follows it, as in the reference (helpers.py:138-149).
+    """
+    ent_tokens = [(e, tuple(e.split(" "))) for e in entities]
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for url, gid, sid, toks in zip(pdf["url"], pdf["group_id"], pdf["sent_id"], pdf["tokens"]):
+                r = tp.mine_entity_instance(list(toks), ent_tokens)
+                if r is not None:
+                    masked, idx, ent = r
+                    rows.append((url, gid, sid, masked, idx, ent))
+            yield pd.DataFrame(
+                rows, columns=["url", "group_id", "sent_id", "masked_tokens", "entity_idx", "entity"]
+            )
+
+    return sentences.select("url", "group_id", "sent_id", "tokens").mapInPandas(gen, _ENTITY_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# T8: relation-instance mining
+# ---------------------------------------------------------------------------
+
+_REL_SCHEMA = (
+    "url string, group_id string, sent_id int, masked_tokens array<string>, "
+    "fst_idx int, snd_idx int, fst_concept string, snd_concept string"
+)
+
+
+def mine_relation_instances(sentences: DataFrame, concepts: list[str], syn_dict: dict[str, list[str]]) -> DataFrame:
+    syn_tokens = {c: [tuple(s.split(" ")) for s in syns] for c, syns in syn_dict.items()}
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for url, gid, sid, toks in zip(pdf["url"], pdf["group_id"], pdf["sent_id"], pdf["tokens"]):
+                r = tp.mine_relation_instance(list(toks), concepts, syn_tokens)
+                if r is not None:
+                    masked, (i1, i2), (c1, c2) = r
+                    rows.append((url, gid, sid, masked, i1, i2, c1, c2))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "url",
+                    "group_id",
+                    "sent_id",
+                    "masked_tokens",
+                    "fst_idx",
+                    "snd_idx",
+                    "fst_concept",
+                    "snd_concept",
+                ],
+            )
+
+    return sentences.select("url", "group_id", "sent_id", "tokens").mapInPandas(gen, _REL_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# T9: glossary matching (argumentation)
+# ---------------------------------------------------------------------------
+
+_GLOSS_SCHEMA = (
+    "url string, group_id string, phrase_id string, phrase_ord long, phrase string, "
+    "node string, form string, start int, end int"
+)
+
+
+def match_glossary(
+    phrases: DataFrame,
+    nodes_postorder: list[str],
+    parents: dict[str, str | None],
+    glossary: dict[str, list[str]],
+) -> DataFrame:
+    """phrases x broadcast(ontology glossary) -> matched (phrase, node) spans.
+
+    `phrase_ord` (derived from sent/phrase position) pins within-review
+    tie-breaking downstream (the reference relies on Python list order)."""
+    gloss_tokens = {n: [s.split(" ") for s in syns] for n, syns in glossary.items()}
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for url, gid, pid, pord, phrase, toks in zip(
+                pdf["url"], pdf["group_id"], pdf["phrase_id"], pdf["phrase_ord"], pdf["phrase"], pdf["tokens"]
+            ):
+                for node, form, s, e in tp.match_glossary(list(toks), nodes_postorder, parents, gloss_tokens):
+                    rows.append((url, gid, pid, pord, phrase, node, form, s, e))
+            yield pd.DataFrame(
+                rows,
+                columns=["url", "group_id", "phrase_id", "phrase_ord", "phrase", "node", "form", "start", "end"],
+            )
+
+    return phrases.select("url", "group_id", "phrase_id", "phrase_ord", "phrase", "tokens").mapInPandas(
+        gen, _GLOSS_SCHEMA
+    )

@@ -1,0 +1,146 @@
+"""Scale-path entity canonicalization: distributed connected components
+(iterative min-label propagation) + MinHash-LSH blocking for entity linking.
+
+The driver-exact clustering in operators/concepts.py is the parity path for
+dictionaries <= config.max_driver_cluster_terms. At web scale the synonym
+dictionary is unbounded, so:
+
+- ``label_propagation(edges)``: GraphFrames-style connected components on
+  plain DataFrames — each round joins node labels to edges and takes the
+  min label over the <=1-hop neighborhood; k rounds == the reference's
+  bounded-k connectivity (synset_extractor.py:27-49 generalized). Labels
+  are strings; min is lexicographic, deterministic. localCheckpoint every
+  round truncates lineage so plans don't snowball.
+- ``minhash_lsh_blocks(df, text_col, ...)``: shingle -> minhash -> band ->
+  bucket rows so candidate pairs only form within buckets (the north-star
+  "MinHash-LSH blocking + salted join entity linking"). A salt column
+  caps hot buckets.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import ArrayType, LongType
+
+
+def label_propagation(edges: DataFrame, max_rounds: int = 3) -> DataFrame:
+    """edges(src string, dst string), undirected -> (node, component).
+
+    component = min node id reachable within `max_rounds` hops (for
+    max_rounds >= graph diameter this is exact connected components).
+    """
+    sym = edges.select("src", "dst").union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    sym = sym.distinct().cache()
+    labels = (
+        sym.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+    )
+    for _ in range(max_rounds):
+        neigh = (
+            sym.join(labels, sym["dst"] == labels["node"])
+            .select(F.col("src").alias("node"), "component")
+        )
+        new_labels = (
+            labels.select("node", "component")
+            .union(neigh)
+            .groupBy("node")
+            .agg(F.min("component").alias("component"))
+        )
+        labels = new_labels.localCheckpoint(eager=True)
+    sym.unpersist()
+    return labels
+
+
+def components_to_synsets(labels: DataFrame, counts: DataFrame) -> DataFrame:
+    """(node, component) + (term, count) -> (concept, member, count) where
+    concept = the component's highest-count member (lexicographic tiebreak)
+    — the distributed analog of the representative pick in
+    operators/concepts.py."""
+    withc = labels.join(counts, labels["node"] == counts["term"], "left").select(
+        "node", "component", F.coalesce("count", F.lit(0)).alias("count")
+    )
+    rep = withc.groupBy("component").agg(
+        F.expr("min_by(node, struct(-count, node))").alias("concept")
+    )
+    return (
+        withc.join(rep, "component")
+        .select(F.col("concept"), F.col("node").alias("member"), F.col("count"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash-LSH blocking
+# ---------------------------------------------------------------------------
+
+
+def _minhash_signature(text: str, num_hashes: int, shingle_k: int) -> list[int]:
+    toks = text.split()
+    if len(toks) < shingle_k:
+        shingles = {" ".join(toks)} if toks else {""}
+    else:
+        shingles = {" ".join(toks[i : i + shingle_k]) for i in range(len(toks) - shingle_k + 1)}
+    sig = []
+    for h in range(num_hashes):
+        best = None
+        for s in shingles:
+            v = int.from_bytes(hashlib.md5(f"{h}:{s}".encode("utf-8")).digest()[:8], "big")
+            if best is None or v < best:
+                best = v
+        sig.append(best or 0)
+    return sig
+
+
+def make_minhash_udf(num_hashes: int, shingle_k: int):
+    @pandas_udf(ArrayType(LongType()))
+    def minhash_udf(text: pd.Series) -> pd.Series:
+        return text.map(lambda t: [v - 2**63 for v in _minhash_signature(t or "", num_hashes, shingle_k)])
+
+    return minhash_udf
+
+
+def minhash_lsh_blocks(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+    salt_mod: int | None = None,
+) -> DataFrame:
+    """rows -> (id, band, bucket[, salt]) block assignments. Rows sharing
+    (band, bucket) are near-duplicate candidates; join within blocks only.
+
+    `salt_mod` splits hot buckets into `salt_mod` sub-buckets by id hash —
+    the salted-join half of the north-star entity-linking recipe (bounded
+    loss: pairs across salts of one bucket are missed; callers that need
+    exactness re-check with one extra pass on oversized buckets).
+    """
+    rows_per_band = num_hashes // bands
+    sig = make_minhash_udf(num_hashes, shingle_k)
+    out = df.select(F.col(id_col).alias("id"), sig(F.col(text_col)).alias("sig"))
+    band_cols = [
+        F.hash(F.slice("sig", b * rows_per_band + 1, rows_per_band)).alias(f"b{b}")
+        for b in range(bands)
+    ]
+    out = out.select("id", F.posexplode(F.array(*band_cols)).alias("band", "bucket"))
+    if salt_mod:
+        out = out.withColumn("salt", F.pmod(F.hash("id"), F.lit(salt_mod)))
+    return out
+
+
+def near_duplicate_pairs(blocks: DataFrame) -> DataFrame:
+    """(band, bucket) self-join -> distinct candidate pairs (a < b)."""
+    left = blocks.select(F.col("band"), F.col("bucket"), F.col("id").alias("a"))
+    right = blocks.select(F.col("band"), F.col("bucket"), F.col("id").alias("b"))
+    return (
+        left.join(right, ["band", "bucket"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )

@@ -1,0 +1,202 @@
+"""End-to-end KG-construction pipeline: pages -> triples.
+
+Stage graph (SURVEY §7.1); every stage checkpoints through plans/lineage.py
+when a work_dir is given, and a re-run resumes from the last complete stage.
+
+    E1 extract      docs(url, group_id, text)
+    E2 segment      sentences(url, group_id, sent_id, sentence, tokens)
+    E3 mine         phrase vocab artifact + candidates(term, count)
+    E4 detect       aspects(term, count, prob)
+    E5 link         synsets(concept, member, count)  [driver-exact <=512 terms,
+                                                      label propagation above]
+    E6 relate       meronym_scores + ontology_edges(subj, pred, obj, score)
+    E7 opine        arguments(group_id, aspect, polarity, strength, ...)
+    materialize     triples = ontology_edges  UNION  per-group opinion edges
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from llm_review_aggregation_spark.config import DEFAULT_CONFIG, PipelineConfig
+from llm_review_aggregation_spark.functions import cleaning, embeddings, mining, scoring, tokenize
+from llm_review_aggregation_spark.operators import argumentation, aspects as aspects_ops
+from llm_review_aggregation_spark.operators import concepts as concepts_ops
+from llm_review_aggregation_spark.operators import relations as relations_ops
+from llm_review_aggregation_spark.plans.lineage import EphemeralStore, StageStore
+
+
+@dataclass
+class PipelineResult:
+    docs: DataFrame
+    sentences: DataFrame
+    candidates: DataFrame
+    aspects: DataFrame
+    synsets: DataFrame
+    ontology_edges: DataFrame
+    arguments: DataFrame
+    triples: DataFrame
+    root_name: str
+    tree_edges: dict[str, str]
+    synset_map: dict[str, list[str]]
+
+
+def run_pipeline(
+    spark: SparkSession,
+    pages: DataFrame,
+    cfg: PipelineConfig = DEFAULT_CONFIG,
+    work_dir: str | None = None,
+    resume: bool = True,
+) -> PipelineResult:
+    store = StageStore(spark, work_dir) if work_dir else EphemeralStore(spark)
+    entity_scorer, relation_scorer, sentiment_scorer = scoring.make_scorers(cfg.scorer, cfg.scorer_params)
+
+    # E1/E2 ---------------------------------------------------------------
+    docs = store.run_table("docs", lambda: cleaning.extract_docs(pages), resume)
+    sentences = store.run_table("sentences", lambda: tokenize.segment_sentences(docs), resume)
+    sentences.cache()
+
+    # E3 --------------------------------------------------------------------
+    pairs = store.run_artifact(
+        "phrase_vocab",
+        lambda: sorted(mining.build_phrase_vocab(sentences, cfg.phrase_min_count, cfg.phrase_threshold)),
+        resume,
+    )
+    pair_set = {tuple(p) for p in pairs}
+    candidates = store.run_table(
+        "candidates",
+        lambda: mining.top_candidates(
+            mining.count_noun_terms(sentences, pair_set), cfg.n_candidate_aspects
+        ),
+        resume,
+    )
+
+    # E4 --------------------------------------------------------------------
+    aspects_df = store.run_table(
+        "aspects",
+        lambda: aspects_ops.extract_aspects(sentences, candidates, entity_scorer, cfg.entity_prob_threshold),
+        resume,
+    )
+
+    # E5 --------------------------------------------------------------------
+    def _cluster():
+        rows = aspects_df.orderBy(F.desc("count"), F.asc("term")).limit(cfg.top_k_aspects_to_keep).collect()
+        counts = {r["term"]: r["count"] for r in rows}
+        if not counts:
+            return {"root": None, "synset_counts": {}, "synsets": {}}
+        root_name = cfg.root_name or next(iter(counts))
+        if root_name not in counts:
+            counts = {root_name: 0, **counts}
+        if len(counts) > cfg.max_driver_cluster_terms:
+            raise NotImplementedError(
+                "dictionary too large for driver-exact clustering; use "
+                "operators/canonicalize.label_propagation (scale path)"
+            )
+        sim = embeddings.build_similarity_model(
+            sentences, list(counts), window=cfg.embedding_window, topn=cfg.rcs_topn
+        )
+        synset_counts, synsets = concepts_ops.cluster_synsets(
+            root_name, counts, sim, cfg.similarity_threshold, cfg.num_clustering_levels
+        )
+        return {"root": root_name, "synset_counts": synset_counts, "synsets": synsets}
+
+    concept_art = store.run_artifact("concepts", _cluster, resume)
+    root_name = concept_art["root"]
+    if root_name is None:
+        # degenerate corpus (no aspects survived): emit empty, well-typed outputs
+        empty = {
+            "synsets": spark.createDataFrame([], "concept string, member string, count long"),
+            "edges": spark.createDataFrame([], "subj string, pred string, obj string, score double"),
+            "arguments": spark.createDataFrame(
+                [],
+                "group_id string, aspect string, polarity boolean, strength double, "
+                "strongest_support_phrase string, strongest_attack_phrase string, "
+                "strongest_support_feature string, strongest_attack_feature string",
+            ),
+        }
+        return PipelineResult(
+            docs=docs,
+            sentences=sentences,
+            candidates=candidates,
+            aspects=aspects_df,
+            synsets=empty["synsets"],
+            ontology_edges=empty["edges"],
+            arguments=empty["arguments"],
+            triples=empty["edges"],
+            root_name="",
+            tree_edges={},
+            synset_map={},
+        )
+    synset_counts = {k: int(v) for k, v in concept_art["synset_counts"].items()}
+    synset_map = {k: list(v) for k, v in concept_art["synsets"].items()}
+
+    synsets_rows = [(c, m, synset_counts[c]) for c, ms in synset_map.items() for m in ms]
+    synsets_df = store.run_table(
+        "synsets",
+        lambda: spark.createDataFrame(synsets_rows, "concept string, member string, count long"),
+        resume,
+    )
+
+    # E6 --------------------------------------------------------------------
+    concepts_list = list(synset_counts)
+    meronym_scores = store.run_table(
+        "meronym_scores",
+        lambda: relations_ops.accumulate_meronym_scores(sentences, concepts_list, synset_map, relation_scorer),
+        resume,
+    )
+    ontology_edges = store.run_table(
+        "ontology_edges",
+        lambda: relations_ops.build_ontology_edges(
+            spark, meronym_scores, concepts_list, synset_counts, root_name
+        ),
+        resume,
+    )
+    tree_edges = {r["subj"]: r["obj"] for r in ontology_edges.collect()}
+
+    # E7 --------------------------------------------------------------------
+    tree_nodes = set(tree_edges) | set(tree_edges.values()) | {root_name}
+    glossary = {n: synset_map.get(n, [n]) for n in tree_nodes}
+    arguments = store.run_table(
+        "arguments",
+        lambda: argumentation.extract_arguments(
+            spark,
+            sentences,
+            docs,
+            tree_edges,
+            root_name,
+            glossary,
+            sentiment_scorer,
+            cfg.sentiment_threshold,
+            cfg.phrase_max_words,
+        ),
+        resume,
+    )
+
+    # materialize graph ------------------------------------------------------
+    def _triples():
+        opinion = arguments.select(
+            F.col("group_id").alias("subj"),
+            F.lit("hasAspectOpinion").alias("pred"),
+            F.col("aspect").alias("obj"),
+            F.when(F.col("polarity"), F.col("strength")).otherwise(-F.col("strength")).alias("score"),
+        )
+        return ontology_edges.select("subj", "pred", "obj", "score").unionByName(opinion)
+
+    triples = store.run_table("triples", _triples, resume)
+
+    return PipelineResult(
+        docs=docs,
+        sentences=sentences,
+        candidates=candidates,
+        aspects=aspects_df,
+        synsets=synsets_df,
+        ontology_edges=ontology_edges,
+        arguments=arguments,
+        triples=triples,
+        root_name=root_name,
+        tree_edges=tree_edges,
+        synset_map=synset_map,
+    )
