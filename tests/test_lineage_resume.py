@@ -1,0 +1,69 @@
+"""Checkpoint/lineage/resume behavior (FIXTURES.md §3 `_lineage`)."""
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from llm_review_aggregation_spark.plans.lineage import StageStore
+
+
+@pytest.fixture()
+def work_dir(tmp_path):
+    d = str(tmp_path / "wd")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_stage_checkpoint_and_resume(spark, work_dir):
+    store = StageStore(spark, work_dir)
+    calls = {"n": 0}
+
+    def make():
+        calls["n"] += 1
+        return spark.range(10).withColumn("v", F.col("id") * 2)
+
+    df1 = store.run_table("stage_a", make)
+    assert df1.count() == 10
+    assert calls["n"] == 1
+    # resume: fn not called again
+    df2 = store.run_table("stage_a", make)
+    assert df2.count() == 10
+    assert calls["n"] == 1
+    # force recompute by dropping lineage
+    shutil.rmtree(os.path.join(work_dir, "_lineage", "stage_a"))
+    df3 = store.run_table("stage_a", make)
+    assert calls["n"] == 2
+    assert df3.count() == 10
+
+
+def test_lineage_rows_record_partitions(spark, work_dir):
+    store = StageStore(spark, work_dir)
+    store.run_table("stage_b", lambda: spark.range(100).repartition(4))
+    lin = store.lineage().filter(F.col("stage") == "stage_b")
+    rows = lin.collect()
+    assert sum(r["output_rows"] for r in rows) == 100
+    assert all(r["status"] == "complete" for r in rows)
+
+
+def test_empty_stage_records_lineage(spark, work_dir):
+    store = StageStore(spark, work_dir)
+    store.run_table("stage_empty", lambda: spark.range(5).filter(F.col("id") < 0))
+    assert store.is_complete("stage_empty")
+    df = store.run_table("stage_empty", lambda: (_ for _ in ()).throw(AssertionError("recomputed")))
+    assert df.count() == 0
+
+
+def test_artifact_resume(spark, work_dir):
+    store = StageStore(spark, work_dir)
+    calls = {"n": 0}
+
+    def make():
+        calls["n"] += 1
+        return {"pairs": [["a", "b"]]}
+
+    a1 = store.run_artifact("art", make)
+    a2 = store.run_artifact("art", make)
+    assert a1 == a2 == {"pairs": [["a", "b"]]}
+    assert calls["n"] == 1

@@ -1,0 +1,165 @@
+"""Unit specs for the pure-Python text primitives.
+
+The clean-text cases mirror the reference's behavioral contract
+(tests/unit/src/data/test_amazon_load_preprocess.py:40-57): strip html,
+drop special characters, ASCII-fold, lowercase.
+"""
+
+from llm_review_aggregation_spark import textproc as tp
+
+
+class TestCleanText:
+    def test_strips_html(self):
+        assert tp.clean_text("<p>Hello <b>World</b></p>") == "hello world"
+
+    def test_skips_script_and_style(self):
+        html = "<html><head><style>p{}</style><script>var x;</script></head><body>Hi</body></html>"
+        assert tp.clean_text(html) == "hi"
+
+    def test_removes_special_characters_keeps_punct(self):
+        assert tp.clean_text("a@#$%b.,!?;:\"'c") == "ab.,!?;:\"'c"
+
+    def test_ascii_fold(self):
+        # special-char strip removes the accented char before NFKD runs
+        # (reference composition order: base_load_preprocess.py:26-32)
+        assert tp.clean_text("café résumé") == "caf rsum"
+
+    def test_entities_decoded(self):
+        # &amp; -> '&' (stripped as special); &nbsp; -> U+00A0, kept by \s,
+        # NFKD-folded to a plain space
+        assert tp.clean_text("a &amp; b &nbsp;c") == "a  b  c"
+
+    def test_lowercases(self):
+        assert tp.clean_text("MiXeD CaSe") == "mixed case"
+
+    def test_bytes_input(self):
+        assert tp.clean_text("<p>Bytes</p>".encode()) == "bytes"
+
+
+class TestTokenize:
+    def test_sentences(self):
+        assert tp.sent_tokenize("One. Two! Three? Four") == ["One.", "Two!", "Three?", "Four"]
+
+    def test_sentences_splitlines(self):
+        assert tp.sent_tokenize("line one\nline two") == ["line one", "line two"]
+
+    def test_words(self):
+        assert tp.word_tokenize("the screen's size, fine!") == ["the", "screen's", "size", ",", "fine", "!"]
+
+    def test_filter_underscore(self):
+        assert tp.filter_underscore("A_B c") == "a b c"
+
+
+class TestPhrases:
+    def test_score(self):
+        # (c_ab - min) * vocab / (c_a * c_b)
+        assert tp.phrase_score(10, 20, 5, 100, 1) == (9 * 100) / (20 * 5)
+
+    def test_apply_greedy_nonoverlap(self):
+        pairs = {("a", "b"), ("b", "c")}
+        assert tp.apply_phrases(["a", "b", "c"], pairs) == ["a_b", "c"]
+
+    def test_apply_no_match(self):
+        assert tp.apply_phrases(["x", "y"], {("a", "b")}) == ["x", "y"]
+
+
+class TestNounTerms:
+    def test_single_nouns_kept(self):
+        toks = ["the", "battery", "is", "great", "."]
+        assert tp.noun_terms(toks, tp.pos_filtered_ngrams(toks, toks)) == ["battery"]
+
+    def test_multiword_all_nn_jj_kept(self):
+        toks = ["battery", "life"]
+        merged = ["battery_life"]
+        assert tp.pos_filtered_ngrams(toks, merged) == ["battery life"]
+        assert tp.noun_terms(toks, ["battery life"]) == ["battery life"]
+
+    def test_multiword_with_verb_split(self):
+        toks = ["works", "battery"]
+        assert tp.pos_filtered_ngrams(toks, ["works_battery"]) == ["works", "battery"]
+
+    def test_stopword_and_short_dropped(self):
+        toks = ["it", "a", "ox"]
+        assert tp.noun_terms(toks, toks) == ["ox"]
+
+
+class TestEntityMining:
+    ENTS = [("battery", ("battery",)), ("camera", ("camera",))]
+
+    def test_single_mention_masked(self):
+        toks = "the battery is great .".split()
+        assert tp.mine_entity_instance(toks, self.ENTS) == (["the", "[MASK]", "is", "great", "."], 1, "battery")
+
+    def test_two_distinct_mentions_dropped(self):
+        toks = "the battery of the camera".split()
+        assert tp.mine_entity_instance(toks, self.ENTS) is None
+
+    def test_nested_mention_outermost_wins(self):
+        ents = [("battery", ("battery",)), ("battery life", ("battery", "life"))]
+        toks = "the battery life rocks".split()
+        out = tp.mine_entity_instance(toks, ents)
+        assert out == (["the", "[MASK]", "rocks"], 1, "battery life")
+
+    def test_non_noun_rejected(self):
+        ents = [("great", ("great",))]
+        assert tp.mine_entity_instance("the great wall".split(), ents) is None
+
+
+class TestRelationMining:
+    SYN = {"battery": [("battery",)], "camera": [("camera",), ("cam",)]}
+
+    def test_pair_masked_in_order(self):
+        toks = "the battery of the cam is fine".split()
+        out = tp.mine_relation_instance(toks, ["battery", "camera"], self.SYN)
+        assert out is not None
+        masked, idxs, concepts = out
+        assert masked == ["the", "[MASK]", "of", "the", "[MASK]", "is", "fine"]
+        assert idxs == [1, 4]
+        assert concepts == ["battery", "camera"]
+
+    def test_single_mention_none(self):
+        assert tp.mine_relation_instance("the battery is fine".split(), ["battery", "camera"], self.SYN) is None
+
+    def test_same_concept_twice_none(self):
+        toks = "the camera and the cam".split()
+        assert tp.mine_relation_instance(toks, ["battery", "camera"], self.SYN) is None
+
+    def test_three_mentions_none(self):
+        syn = dict(self.SYN, lens=[("lens",)])
+        toks = "battery cam lens".split()
+        assert tp.mine_relation_instance(toks, ["battery", "camera", "lens"], syn) is None
+
+
+class TestGlossary:
+    def test_match_and_ancestor_suppression(self):
+        # tree: camera -> battery; phrase mentions battery AND camera;
+        # battery (leaf, postorder-first) matches and suppresses camera
+        parents = {"camera": None, "battery": "camera"}
+        gloss = {"camera": [["camera"]], "battery": [["battery"]]}
+        toks = "the battery of the camera".split()
+        got = tp.match_glossary(toks, ["battery", "camera"], parents, gloss)
+        assert got == [("battery", "battery", 1, 2)]
+
+    def test_no_suppression_without_descendant_match(self):
+        parents = {"camera": None, "battery": "camera"}
+        gloss = {"camera": [["camera"]], "battery": [["battery"]]}
+        toks = "the camera is good".split()
+        got = tp.match_glossary(toks, ["battery", "camera"], parents, gloss)
+        assert got == [("camera", "camera", 1, 2)]
+
+    def test_multiple_spans(self):
+        parents = {"n": None}
+        got = tp.match_glossary("x a x a".split(), ["n"], parents, {"n": [["a"]]})
+        assert got == [("n", "a", 1, 2), ("n", "a", 3, 4)]
+
+    def test_split_phrases(self):
+        out = tp.split_phrases("good but bad although ugly", 38.4)
+        assert out == ["good", "bad", "ugly"]
+
+    def test_split_phrases_max_words(self):
+        long = " ".join(["w"] * 40)
+        assert tp.split_phrases(long, 38.4) == []
+
+    def test_well_formatted(self):
+        assert tp.is_well_formatted("ok phrase (fine)!")
+        assert not tp.is_well_formatted("bad * char")
