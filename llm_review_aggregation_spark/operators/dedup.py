@@ -1,0 +1,150 @@
+"""Deduplication operators for web-scale corpora.
+
+- exact:            fingerprint (md5 of normalized text) -> hash groupBy
+- minhash + LSH:    shingle -> minhash -> band -> bucket join (blocking),
+                    verified by token-set Jaccard (JVM array ops)
+- simhash:          64-bit simhash, banded into 4x16-bit keys; candidates
+                    share a band, verified by hamming distance <= k
+- n-gram Jaccard:   direct verification predicate over token shingles
+- embedding cosine: near-dup pairs via random-hyperplane LSH buckets
+                    (operators/simsearch.py) verified by cosine >= tau
+
+Scale notes: every method is blocked — no all-pairs joins. Exact dedup is
+one shuffle on the fingerprint; LSH methods shuffle on (band, bucket) keys,
+with a salt option for pathological buckets (canonicalize.minhash_lsh_blocks).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from llm_review_aggregation_spark.functions import textstats
+from llm_review_aggregation_spark.operators import canonicalize, simsearch
+
+
+# ---------------------------------------------------------------------------
+# exact
+# ---------------------------------------------------------------------------
+
+
+def exact_duplicate_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(fingerprint, n_docs, keep_id) for every duplicated fingerprint."""
+    fp = df.select(F.col(id_col).alias("id"), textstats.fingerprint(F.col(text_col)).alias("fingerprint"))
+    return (
+        fp.groupBy("fingerprint")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("id").alias("keep_id"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def dedup_exact(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Keep the min-id row per fingerprint (deterministic survivor)."""
+    fp = df.withColumn("_fp", textstats.fingerprint(F.col(text_col)))
+    keep = fp.groupBy("_fp").agg(F.min(id_col).alias(id_col))
+    return fp.join(keep, [ "_fp", id_col]).drop("_fp")
+
+
+# ---------------------------------------------------------------------------
+# token-shingle Jaccard (verification predicate + direct small-scale op)
+# ---------------------------------------------------------------------------
+
+
+def _shingles(text_col, k: int):
+    toks = textstats.tokens_col(text_col)
+    n = F.size(toks)
+    return F.when(n >= k, F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(n - k + 1, F.lit(1))),
+            lambda i: F.array_join(F.slice(toks, i, k), " "),
+        )
+    )).otherwise(F.array(F.array_join(toks, " ")))
+
+
+def jaccard_pairs(df: DataFrame, text_col: str, id_col: str, k: int = 3, threshold: float = 0.8,
+                  blocks: DataFrame | None = None) -> DataFrame:
+    """Near-duplicate pairs (a, b, jaccard). When `blocks` (from
+    minhash_lsh_blocks) is given, only blocked candidate pairs are verified —
+    the scale path. Without it, verification joins all pairs (test scale)."""
+    sh = df.select(F.col(id_col).alias("id"), _shingles(F.col(text_col), k).alias("sh"))
+    if blocks is not None:
+        cand = canonicalize.near_duplicate_pairs(blocks)
+    else:
+        left = sh.select(F.col("id").alias("a"))
+        right = sh.select(F.col("id").alias("b"))
+        cand = left.crossJoin(right).filter(F.col("a") < F.col("b"))
+    a = sh.select(F.col("id").alias("a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("id").alias("b"), F.col("sh").alias("sh_b"))
+    return (
+        cand.join(a, "a")
+        .join(b, "b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            / F.greatest(F.size(F.array_union("sh_a", "sh_b")), F.lit(1)),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
+
+
+def minhash_near_duplicates(
+    df: DataFrame, text_col: str, id_col: str,
+    num_hashes: int = 16, bands: int = 4, shingle_k: int = 3, threshold: float = 0.8,
+) -> DataFrame:
+    """The full scale recipe: LSH blocking then Jaccard verification."""
+    blocks = canonicalize.minhash_lsh_blocks(df, text_col, id_col, num_hashes, bands, shingle_k)
+    return jaccard_pairs(df, text_col, id_col, shingle_k, threshold, blocks=blocks)
+
+
+# ---------------------------------------------------------------------------
+# simhash
+# ---------------------------------------------------------------------------
+
+
+def simhash_near_duplicates(df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3) -> DataFrame:
+    """Banded simhash: 4 bands of 16 bits; near-dups (hamming <= k over 64
+    bits) must collide on >= 1 band when k < 4 (pigeonhole)."""
+    sh = df.select(F.col(id_col).alias("id"), textstats.simhash_udf(F.col(text_col)).alias("sim"))
+    banded = sh.select(
+        "id",
+        "sim",
+        F.posexplode(
+            F.array(*[F.shiftrightunsigned(F.col("sim"), b * 16).bitwiseAND(F.lit(0xFFFF)) for b in range(4)])
+        ).alias("band", "key"),
+    )
+    left = banded.select("band", "key", F.col("id").alias("a"), F.col("sim").alias("sim_a"))
+    right = banded.select("band", "key", F.col("id").alias("b"), F.col("sim").alias("sim_b"))
+    cand = (
+        left.join(right, ["band", "key"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", "sim_a", "sim_b")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return cand.withColumn("hamming", hamming).filter(F.col("hamming") <= max_hamming).select("a", "b", "hamming")
+
+
+# ---------------------------------------------------------------------------
+# embedding-cosine near-dup
+# ---------------------------------------------------------------------------
+
+
+def embedding_near_duplicates(
+    df: DataFrame, vec_col: str, id_col: str, threshold: float = 0.95, planes: int = 12, probe_hamming: int = 1
+) -> DataFrame:
+    """Random-hyperplane LSH buckets, verified by exact cosine."""
+    buckets = simsearch.hyperplane_buckets(df, vec_col, id_col, planes=planes, probe_hamming=probe_hamming)
+    vecs = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    a = buckets.select(F.col("bucket"), F.col("id").alias("a"))
+    b = buckets.select(F.col("bucket"), F.col("id").alias("b"))
+    cand = a.join(b, "bucket").filter(F.col("a") < F.col("b")).select("a", "b").distinct()
+    va = vecs.select(F.col("id").alias("a"), F.col("vec").alias("va"))
+    vb = vecs.select(F.col("id").alias("b"), F.col("vec").alias("vb"))
+    return (
+        cand.join(va, "a")
+        .join(vb, "b")
+        .withColumn("cosine", simsearch.cosine_expr("va", "vb"))
+        .filter(F.col("cosine") >= threshold)
+        .select("a", "b", "cosine")
+    )

@@ -1,0 +1,189 @@
+"""Dedup, similarity search, text stats, multimodal plumbing, streaming."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from llm_review_aggregation_spark.functions import multimodal, textstats
+from llm_review_aggregation_spark.operators import dedup, simsearch
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def documents(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet").cache()
+
+
+class TestTextStats:
+    def test_doc_stats_columns(self, documents):
+        out = textstats.doc_stats(documents, "text")
+        row = out.filter(F.col("doc_id") == 0).first()
+        assert row["n_tokens"] > 0
+        assert 0 <= row["punct_ratio"] <= 1
+        assert 0 <= row["stopword_ratio"] <= 1
+        assert 0 <= row["quality_score"] <= 1
+        assert len(row["fingerprint"]) == 32
+
+    def test_fingerprint_normalizes_whitespace(self, spark):
+        df = spark.createDataFrame([("a  b",), ("A b ",)], "text string")
+        fps = [r[0] for r in df.select(textstats.fingerprint(F.col("text"))).collect()]
+        assert fps[0] == fps[1]
+
+    def test_lang_guess_en(self, spark):
+        df = spark.createDataFrame(
+            [("the cat is on the mat and it is happy",), ("zorp blag frumble xyz",)],
+            "text string",
+        )
+        out = [r[0] for r in df.select(textstats.lang_guess(F.col("text"))).collect()]
+        assert out == ["en", "unknown"]
+
+    def test_simhash_deterministic_and_locality(self, spark):
+        df = spark.createDataFrame(
+            [(1, "the quick brown fox jumps over the lazy dog"),
+             (2, "the quick brown fox jumps over the lazy cat"),
+             (3, "completely unrelated words about spark execution engines")],
+            "id long, text string",
+        )
+        out = {r["id"]: r["sh"] for r in df.select("id", textstats.simhash_udf("text").alias("sh")).collect()}
+        ham12 = bin((out[1] ^ out[2]) & (2**64 - 1)).count("1")
+        ham13 = bin((out[1] ^ out[3]) & (2**64 - 1)).count("1")
+        assert ham12 < ham13
+
+
+class TestDedup:
+    def test_exact_dedup(self, spark):
+        df = spark.createDataFrame(
+            [(1, "Hello  World"), (2, "hello world"), (3, "different doc")],
+            "id long, text string",
+        )
+        groups = dedup.exact_duplicate_groups(df, "text", "id").collect()
+        assert len(groups) == 1 and groups[0]["n_docs"] == 2 and groups[0]["keep_id"] == 1
+        kept = sorted(r["id"] for r in dedup.dedup_exact(df, "text", "id").collect())
+        assert kept == [1, 3]
+
+    def test_minhash_near_duplicates(self, spark):
+        base = "spark executes distributed dataflow across many partitions with shuffle and broadcast joins"
+        df = spark.createDataFrame(
+            [(1, base), (2, base.replace("many", "several")), (3, "short unrelated text about cameras and lenses only")],
+            "id long, text string",
+        )
+        pairs = {(r["a"], r["b"]) for r in dedup.minhash_near_duplicates(df, "text", "id", threshold=0.5).collect()}
+        assert pairs == {(1, 2)}
+
+    def test_jaccard_pairs_direct(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a b c d e"), (2, "a b c d f"), (3, "x y z w v")], "id long, text string"
+        )
+        got = {(r["a"], r["b"]): r["jaccard"] for r in dedup.jaccard_pairs(df, "text", "id", k=1, threshold=0.5).collect()}
+        assert set(got) == {(1, 2)}
+        assert abs(got[(1, 2)] - 4 / 6) < 1e-9
+
+    def test_simhash_near_duplicates(self, spark):
+        base = "the quick brown fox jumps over the lazy dog while rain falls on the quiet town square"
+        df = spark.createDataFrame(
+            [(1, base), (2, base.replace("rain", "snow")), (3, "totally different content here about engines")],
+            "id long, text string",
+        )
+        pairs = {(r["a"], r["b"]) for r in dedup.simhash_near_duplicates(df, "text", "id", max_hamming=16).collect()}
+        assert (1, 2) in pairs and (1, 3) not in pairs
+
+    def test_embedding_near_duplicates(self, spark):
+        rows = [
+            (1, [1.0, 0.0, 0.0, 0.0]),
+            (2, [0.99, 0.01, 0.0, 0.0]),
+            (3, [0.0, 1.0, 0.0, 0.0]),
+        ]
+        df = spark.createDataFrame(rows, "id long, vec array<double>")
+        pairs = {(r["a"], r["b"]) for r in dedup.embedding_near_duplicates(df, "vec", "id", threshold=0.95, planes=6).collect()}
+        assert (1, 2) in pairs and (1, 3) not in pairs
+
+
+class TestSimSearch:
+    def test_brute_force_topk_self_nearest(self, embeddings):
+        queries = embeddings.limit(3).select(F.col("vec_id").alias("q_id"), F.col("embedding"))
+        out = simsearch.brute_force_topk(
+            embeddings, queries.withColumnRenamed("q_id", "vec_id"), "embedding", "vec_id", "vec_id", k=5
+        )
+        top1 = {r["q_id"]: r["id"] for r in out.filter(F.col("rank") == 1).collect()}
+        assert top1 == {0: 0, 1: 1, 2: 2}  # each query's nearest is itself
+
+    def test_lsh_topk_recall_vs_brute(self, embeddings):
+        queries = embeddings.limit(5)
+        exact = simsearch.brute_force_topk(embeddings, queries, "embedding", "vec_id", "vec_id", k=5)
+        approx = simsearch.lsh_topk(
+            embeddings, queries, "embedding", "vec_id", "vec_id",
+            k=5, planes=6, probe_hamming=1, tables=8,
+        )
+        e = {(r["q_id"], r["id"]) for r in exact.collect()}
+        a = {(r["q_id"], r["id"]) for r in approx.collect()}
+        recall = len(e & a) / len(e)
+        assert recall >= 0.8, recall
+
+
+class TestMultimodal:
+    def test_image_features(self, spark):
+        media = multimodal.synth_media(spark, n_images=6, n_videos=2)
+        feats = multimodal.extract_image_features(media).collect()
+        assert len(feats) == 6
+        for r in feats:
+            assert r["width"] == 32 and r["height"] == 24
+            assert 0 <= r["mean_intensity"] <= 255
+            assert abs(sum(r["histogram"]) - 1.0) < 1e-9
+
+    def test_resize_roundtrip(self, spark):
+        media = multimodal.synth_media(spark, n_images=3, n_videos=0)
+        resized = multimodal.resize_images(media, 8, 6)
+        out = multimodal.extract_image_features(
+            resized.withColumn("kind", F.lit("image")).select("media_id", "kind", "payload")
+        ).collect()
+        assert all(r["width"] == 8 and r["height"] == 6 for r in out)
+
+    def test_video_frame_sampling(self, spark):
+        media = multimodal.synth_media(spark, n_images=0, n_videos=2)
+        frames = multimodal.sample_video_frames(media, every_k=2).collect()
+        assert len(frames) == 2 * 4  # 8 frames, every 2nd
+        assert {r["frame_idx"] for r in frames} == {0, 2, 4, 6}
+
+    def test_stub_decoder_raises(self, spark):
+        media = multimodal.synth_media(spark, n_images=1, n_videos=0)
+        with pytest.raises(Exception, match="NotImplementedError|not installed"):
+            multimodal.extract_image_features(media, decoder="stub").collect()
+
+
+class TestStreaming:
+    def test_windowed_counts_match_batch(self, spark, tmp_path):
+        from llm_review_aggregation_spark.streaming import events as ev
+
+        src = str(tmp_path / "events_dir")
+        spark.read.parquet(f"{SF_DIR}/events.parquet").write.parquet(src)
+        stream = ev.read_event_stream(spark, src)
+        agg = ev.windowed_event_counts(stream, window="1 hour", watermark="10 minutes")
+        ev.run_available_now(agg, "win_counts", str(tmp_path / "ckpt"))
+        got = {
+            (r["window_start"], r["event_type"]): (r["n_events"], round(r["value_sum"], 6))
+            for r in spark.sql("select * from win_counts").collect()
+        }
+        batch = (
+            spark.read.parquet(src)
+            .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 6).alias("s"))
+        )
+        want = {(r["w"]["start"], r["event_type"]): (r["n"], float(r["s"])) for r in batch.collect()}
+        assert got == want
+
+    def test_streaming_dedup(self, spark, tmp_path):
+        from llm_review_aggregation_spark.streaming import events as ev
+
+        src = str(tmp_path / "dup_events")
+        base = spark.read.parquet(f"{SF_DIR}/events.parquet").limit(50)
+        base.union(base).write.parquet(src)  # duplicated ids
+        stream = ev.read_event_stream(spark, src)
+        deduped = ev.streaming_dedup(stream)
+        ev.run_append_to_memory(deduped, "dedup_events", str(tmp_path / "ckpt2"))
+        n = spark.sql("select count(distinct event_id) c, count(*) n from dedup_events").first()
+        assert n["c"] == n["n"] == 50
