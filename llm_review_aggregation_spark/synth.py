@@ -206,11 +206,16 @@ def pages_from_documents(spark, sf_dir: str):
     """Wrap the driver's documents.parquet into the pages schema.
 
     group id = the `source` column (the product analog); deterministic HTML
-    wrapping; warc_ts derived from doc_id.
+    wrapping; warc_ts derived from doc_id. The raw documents text has no
+    sentence structure (one endless token stream), which degenerates the
+    single-mention sentence miners (T7), so a sentence boundary is inserted
+    every 8 words — deterministic, JVM-side.
     """
     from pyspark.sql import functions as F
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").withColumn(
+        "text", F.regexp_replace("text", r"((?:\S+\s+){5}\S+)\s+", "$1.\n")
+    )
     return docs.select(
         F.concat(F.lit("https://example.test/"), F.col("source"), F.lit("/d"), F.lpad(F.col("doc_id").cast("string"), 9, "0")).alias("url"),
         (F.lit(_BASE_TS.replace(tzinfo=None)) + F.make_interval(secs=F.col("doc_id").cast("double") * 37)).alias("warc_ts"),
