@@ -314,6 +314,37 @@ def _q_jaccard_pairs_by_source(spark, sf_dir):
     )
 
 
+def _q_cosine_near_dup(spark, sf_dir):
+    emb = _load(spark, sf_dir, "embeddings")
+    out = dedup.embedding_near_duplicates_exact(emb, "embedding", "vec_id", threshold=0.35)
+    return out.select("a", "b", F.round("cosine", 6).alias("cos_sim")).orderBy("a", "b")
+
+
+def _q_token_count_bpe(spark, sf_dir):
+    d = _load(spark, sf_dir, "documents")
+    bpe = F.size(F.regexp_extract_all(F.lower("text"), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"), F.lit(0)))
+    return (
+        d.select("source", bpe.alias("n_bpe"))
+        .groupBy("source")
+        .agg(
+            F.sum("n_bpe").alias("total_bpe_tokens"),
+            F.avg(F.col("n_bpe").cast("double")).alias("avg_bpe_tokens"),
+            F.max("n_bpe").alias("max_bpe_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+def _q_quality_scores(spark, sf_dir):
+    d = _load(spark, sf_dir, "documents")
+    return (
+        d.select("source", F.round(textstats.quality_score(F.col("text")), 6).alias("q"))
+        .groupBy("source")
+        .agg(F.round(F.avg("q"), 6).alias("avg_quality"), F.round(F.min("q"), 6).alias("min_quality"))
+        .orderBy("source")
+    )
+
+
 def _q_topk_terms_per_source(spark, sf_dir):
     d = _load(spark, sf_dir, "documents")
     counts = (
@@ -412,6 +443,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_label_norms": _q_embedding_label_norms,
         "jaccard_pairs_by_source": _q_jaccard_pairs_by_source,
         "topk_terms_per_source": _q_topk_terms_per_source,
+        "cosine_near_dup": _q_cosine_near_dup,
+        "token_count_bpe": _q_token_count_bpe,
+        "quality_scores": _q_quality_scores,
         # rows-only: UDF-backed / driver-graph / approximate / streaming
         "kg_triples": _q_kg_triples,
         "minhash_pairs": _q_minhash_pairs,
@@ -560,6 +594,41 @@ def oracle_sql() -> dict[str, str]:
             WHERE len(list_intersect(a.toks, b.toks))
                   / greatest(len(list_distinct(list_concat(a.toks, b.toks))), 1)::DOUBLE >= 0.5
             ORDER BY source, a, b
+        """,
+        "cosine_near_dup": """
+            SELECT a.vec_id AS a, b.vec_id AS b,
+                   round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos_sim
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.35
+            ORDER BY a, b
+        """,
+        "token_count_bpe": """
+            SELECT source,
+                   sum(n_bpe) AS total_bpe_tokens,
+                   avg(n_bpe::DOUBLE) AS avg_bpe_tokens,
+                   max(n_bpe) AS max_bpe_tokens
+            FROM (SELECT source,
+                         len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS n_bpe
+                  FROM documents)
+            GROUP BY source ORDER BY source
+        """,
+        "quality_scores": f"""
+            WITH t AS (
+              SELECT source, text,
+                     list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks,
+                     (length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')))
+                       / greatest(length(text), 1)::DOUBLE AS punct_ratio
+              FROM documents
+            ), q AS (
+              SELECT source,
+                     round(0.4 * least(len(toks) / 100.0, 1.0)
+                         + 0.3 * greatest(0.0, 1.0 - punct_ratio * 4)
+                         + 0.3 * least(len(list_filter(toks, x -> list_contains({stop}, x)))
+                                       / greatest(len(toks), 1)::DOUBLE * 5, 1.0), 6) AS q
+              FROM t
+            )
+            SELECT source, round(avg(q), 6) AS avg_quality, round(min(q), 6) AS min_quality
+            FROM q GROUP BY source ORDER BY source
         """,
         "topk_terms_per_source": """
             SELECT source, term, n, rank FROM (

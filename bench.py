@@ -1,0 +1,132 @@
+"""Benchmark harness — prints ONE JSON line.
+
+Times the headline queries from ``__spark_entry__.queries()`` at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` (default 32), forcing full execution through the
+``noop`` sink so Catalyst cannot prune the measured work away.
+
+Also measures the BASELINE.json north-rule metric:
+
+- ``triples_per_sec`` — flagship KG pipeline (pages -> triples) end-to-end
+  wall time over the sf documents corpus.
+- ``scaling`` — the same flagship job at two parallelism levels
+  (local[N] vs local[4N], default 8 vs 32) on the identical input;
+  ``efficiency = (t_N / t_4N) / 4`` (>= 0.8 target). Disable with
+  SPARK_GRAFT_SCALING=0 for quick iteration.
+
+Output: {"metric": "...", "value": N, "unit": "sec",
+         "queries": {...}, "sf": ..., "triples_per_sec": ..., "scaling": {...}}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entrymod  # noqa: E402
+from llm_review_aggregation_spark import synth  # noqa: E402
+from llm_review_aggregation_spark.plans.pipeline import run_pipeline  # noqa: E402
+from llm_review_aggregation_spark.session import get_spark  # noqa: E402
+
+HEADLINE = [
+    "term_counts_top100",
+    "bigram_counts",
+    "revenue_by_nation",
+    "pricing_summary",
+    "top_orders_per_customer",
+    "argmax_part_by_flag",
+    "events_hourly",
+    "distinct_users_daily",
+    "fingerprints",
+    "stopword_quality_by_source",
+    "jaccard_pairs_by_source",
+    "ann_topk_cosine",
+    "minhash_pairs",
+    "simhash_pairs",
+    "kg_triples",
+]
+
+
+def _force(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def _warmup(spark) -> None:
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+
+def _flagship_secs(spark, sf_dir: str) -> tuple[float, int, int]:
+    """End-to-end pages -> triples; returns (sec, n_docs, n_triples)."""
+    pages = synth.pages_from_documents(spark, sf_dir)
+    n_docs = pages.count()
+    t0 = time.monotonic()
+    result = run_pipeline(spark, pages, entrymod._KG_CFG)
+    n_triples = result.triples.count()
+    return time.monotonic() - t0, n_docs, n_triples
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    do_scaling = os.environ.get("SPARK_GRAFT_SCALING", "1") != "0"
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+
+    out: dict = {"metric": "headline_queries_total", "unit": "sec", "sf": sf}
+
+    # ---- scaling leg at N = cpus/4 first (cold JVM excluded via warmup) ----
+    scaling: dict = {}
+    if do_scaling:
+        n_small = max(2, cpus // 4)
+        spark_n = get_spark(app_name="bench-scaling-n", cpus=n_small, shuffle_partitions=n_small)
+        spark_n.sparkContext.setLogLevel("ERROR")
+        _warmup(spark_n)
+        sec_n, n_docs, _ = _flagship_secs(spark_n, sf_dir)
+        spark_n.stop()
+        scaling = {"cpus_n": n_small, "sec_n": round(sec_n, 3), "docs_per_sec_n": round(n_docs / sec_n, 2)}
+
+    # ---- headline queries at full parallelism ----
+    spark = get_spark(app_name="bench", cpus=cpus, shuffle_partitions=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    _warmup(spark)
+    qs = entrymod.queries()
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        if name == "kg_triples":
+            continue  # timed as the flagship below (collect-driven, noop n/a)
+        t0 = time.monotonic()
+        _force(qs[name](spark, sf_dir))
+        times[name] = round(time.monotonic() - t0, 3)
+
+    sec_4n, n_docs, n_triples = _flagship_secs(spark, sf_dir)
+    times["kg_triples"] = round(sec_4n, 3)
+    out["queries"] = times
+    out["value"] = round(sum(times.values()), 3)
+    out["triples_per_sec"] = round(n_triples / sec_4n, 2)
+    out["docs_per_sec"] = round(n_docs / sec_4n, 2)
+    out["n_docs"] = n_docs
+    out["n_triples"] = n_triples
+
+    if do_scaling:
+        speedup = scaling["sec_n"] / sec_4n
+        factor = cpus / scaling["cpus_n"]
+        scaling.update(
+            {
+                "cpus_4n": cpus,
+                "sec_4n": round(sec_4n, 3),
+                "docs_per_sec_4n": round(n_docs / sec_4n, 2),
+                "speedup": round(speedup, 3),
+                "efficiency": round(speedup / factor, 3),
+            }
+        )
+        out["scaling"] = scaling
+
+    spark.stop()
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

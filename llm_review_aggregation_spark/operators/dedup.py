@@ -130,6 +130,27 @@ def simhash_near_duplicates(df: DataFrame, text_col: str, id_col: str, max_hammi
 # ---------------------------------------------------------------------------
 
 
+def embedding_near_duplicates_exact(
+    df: DataFrame, vec_col: str, id_col: str, threshold: float = 0.95
+) -> DataFrame:
+    """All-pairs exact cosine near-dup — the verification baseline for the
+    LSH path below (and the oracle-checkable semantics). JVM-side dot
+    products; quadratic, so test/verify scale only."""
+    vecs = df.select(
+        F.col(id_col).alias("id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("vec"),
+    )
+    a = vecs.select(F.col("id").alias("a"), F.col("vec").alias("va"))
+    b = vecs.select(F.col("id").alias("b"), F.col("vec").alias("vb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("a") < F.col("b"))
+        .withColumn("cosine", simsearch.cosine_expr("va", "vb"))
+        .filter(F.col("cosine") >= threshold)
+        .select("a", "b", "cosine")
+    )
+
+
 def embedding_near_duplicates(
     df: DataFrame, vec_col: str, id_col: str, threshold: float = 0.95, planes: int = 12, probe_hamming: int = 1
 ) -> DataFrame:
