@@ -59,9 +59,9 @@ def _warmup(spark) -> None:
     spark.range(1_000_000).selectExpr("sum(id)").collect()
 
 
-def _flagship_secs(spark, sf_dir: str) -> tuple[float, int, int]:
+def _flagship_secs(spark, sf_dir: str, replicate: int = 1) -> tuple[float, int, int]:
     """End-to-end pages -> triples; returns (sec, n_docs, n_triples)."""
-    pages = synth.pages_from_documents(spark, sf_dir)
+    pages = synth.pages_from_documents(spark, sf_dir, replicate=replicate)
     n_docs = pages.count()
     t0 = time.monotonic()
     result = run_pipeline(spark, pages, entrymod._KG_CFG)
@@ -78,15 +78,27 @@ def main() -> None:
     out: dict = {"metric": "headline_queries_total", "unit": "sec", "sf": sf}
 
     # ---- scaling leg at N = cpus/4 first (cold JVM excluded via warmup) ----
+    # The scaling legs run the flagship on a replicated corpus (same input at
+    # both levels): the per-sf corpus is small enough that fixed scheduling
+    # overhead otherwise dominates and the measurement shows Amdahl floor,
+    # not operator scalability.
+    replicate = int(os.environ.get("SPARK_GRAFT_SCALING_REPLICATE", "16"))
     scaling: dict = {}
     if do_scaling:
         n_small = max(2, cpus // 4)
         spark_n = get_spark(app_name="bench-scaling-n", cpus=n_small, shuffle_partitions=n_small)
         spark_n.sparkContext.setLogLevel("ERROR")
         _warmup(spark_n)
-        sec_n, n_docs, _ = _flagship_secs(spark_n, sf_dir)
+        sec_n, sc_docs, sc_triples = _flagship_secs(spark_n, sf_dir, replicate=replicate)
         spark_n.stop()
-        scaling = {"cpus_n": n_small, "sec_n": round(sec_n, 3), "docs_per_sec_n": round(n_docs / sec_n, 2)}
+        scaling = {
+            "cpus_n": n_small,
+            "replicate": replicate,
+            "n_docs": sc_docs,
+            "sec_n": round(sec_n, 3),
+            "docs_per_sec_n": round(sc_docs / sec_n, 2),
+            "triples_per_sec_n": round(sc_triples / sec_n, 2),
+        }
 
     # ---- headline queries at full parallelism ----
     spark = get_spark(app_name="bench", cpus=cpus, shuffle_partitions=cpus)
@@ -101,23 +113,26 @@ def main() -> None:
         _force(qs[name](spark, sf_dir))
         times[name] = round(time.monotonic() - t0, 3)
 
-    sec_4n, n_docs, n_triples = _flagship_secs(spark, sf_dir)
-    times["kg_triples"] = round(sec_4n, 3)
+    sec_flag, n_docs, n_triples = _flagship_secs(spark, sf_dir)
+    times["kg_triples"] = round(sec_flag, 3)
     out["queries"] = times
     out["value"] = round(sum(times.values()), 3)
-    out["triples_per_sec"] = round(n_triples / sec_4n, 2)
-    out["docs_per_sec"] = round(n_docs / sec_4n, 2)
+    out["triples_per_sec"] = round(n_triples / sec_flag, 2)
+    out["docs_per_sec"] = round(n_docs / sec_flag, 2)
     out["n_docs"] = n_docs
     out["n_triples"] = n_triples
 
     if do_scaling:
+        # 4N leg on the same replicated input, same (warm) session
+        sec_4n, sc_docs, sc_triples = _flagship_secs(spark, sf_dir, replicate=replicate)
         speedup = scaling["sec_n"] / sec_4n
         factor = cpus / scaling["cpus_n"]
         scaling.update(
             {
                 "cpus_4n": cpus,
                 "sec_4n": round(sec_4n, 3),
-                "docs_per_sec_4n": round(n_docs / sec_4n, 2),
+                "docs_per_sec_4n": round(sc_docs / sec_4n, 2),
+                "triples_per_sec_4n": round(sc_triples / sec_4n, 2),
                 "speedup": round(speedup, 3),
                 "efficiency": round(speedup / factor, 3),
             }

@@ -68,18 +68,25 @@ def _scored_pairs(tok_df: DataFrame, min_count: int, threshold: float, max_vocab
     )
     uni = uni.cache()
     bi = bi.cache()
-    n_uni = uni.count()
-    n_bi = bi.count()
-    vocab_size = n_uni + n_bi
+    # vocab_size (distinct unigrams + distinct bigrams) folded into the same
+    # job as the scoring join — one action total, no separate count() jobs
+    vocab = F.broadcast(
+        uni.agg(F.count(F.lit(1)).alias("n_uni")).crossJoin(
+            bi.agg(F.count(F.lit(1)).alias("n_bi"))
+        )
+    )
 
     ua = uni.select(F.col("t").alias("a"), F.col("c").alias("c_a"))
     ub = uni.select(F.col("t").alias("b"), F.col("c").alias("c_b"))
     scored = (
         bi.join(F.broadcast(ua), "a")
         .join(F.broadcast(ub), "b")
+        .crossJoin(vocab)
         .withColumn(
             "score",
-            (F.col("c_ab") - F.lit(min_count)) * F.lit(float(vocab_size)) / (F.col("c_a") * F.col("c_b")),
+            (F.col("c_ab") - F.lit(min_count))
+            * (F.col("n_uni") + F.col("n_bi")).cast("double")
+            / (F.col("c_a") * F.col("c_b")),
         )
         .filter(F.col("score") > threshold)
         .orderBy(F.desc("score"), "a", "b")

@@ -3,17 +3,18 @@ scored opinion rows (the `arguments` table).
 
 The reference builds one Python Framework per product and re-runs BERT per
 group (arg_framework/run.py:120-122 — its main scalability cliff). This
-engine scores every phrase once, then expresses the whole QBAF/DF-QuAD
-computation as grouped aggregations + per-tree-depth joins:
+engine scores every phrase once in a single Arrow-batched pass, then runs
+the whole QBAF/DF-QuAD computation per group in ONE cogrouped
+`applyInPandas` — one shuffle on group_id total:
 
     sentences --T6--> phrases --T9 glossary match--> (phrase, node) spans
-      --M3 scorer--> sentiments
-      --A8: per-(phrase,node) max-abs vote > 0.95-->  phrase_votes
-      --per-(review,node) max-abs -> sign-->          review_votes
-      --A9: depth-iterated ancestor augmentation-->   augmented votes
-      --A10-A12: per-(group,node) sums, polarity, supporter/attacker-->
-      --A13-A14: DF-QuAD bottom-up by depth, product in log-space-->
-      --A16/A17: windowed top-k strongest phrases / features-->
+      --M3 scorer--> sentiments                      [distributed, 1 pass]
+      --cogroup(docs, scored) by group_id-->         [the only shuffle]
+        per group (vectorized pandas):
+          A8 phrase/review votes -> A9 ancestor augmentation ->
+          A10-A12 sums/polarity/supporter-attacker ->
+          A13-A14 DF-QuAD strengths (post-order) ->
+          A16/A17 strongest phrases + features
     arguments(group_id, aspect, polarity, strength, ...)
 
 Semantics follow arg_framework/review.py:68-98 (votes), framework.py:137-240
@@ -21,36 +22,30 @@ Semantics follow arg_framework/review.py:68-98 (votes), framework.py:137-240
 shape). Reference list-order ties are pinned with explicit orderings
 (SURVEY §7 R1).
 
-Scale: everything is keyed by (group_id, node); the tree is global and tiny
-(<=100 nodes), so depth iteration is O(height) joins over pre-aggregated
-per-(group,node) rows — no per-group Python, no driver loops over data.
+Scale: the per-group state is bounded — <=100 tree nodes and one product's
+matched phrases — so each pandas group is small; AQE skew-join/partition
+handling covers pathological groups. The previous implementation expressed
+A9/A14 as per-tree-depth DataFrame self-joins; correct, but each depth level
+cost a full scheduling round-trip + checkpoint barrier, which dominated wall
+time (fixed cost ~x10 the actual compute). The cogroup form has identical
+semantics and one shuffle.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from llm_review_aggregation_spark import textproc as tp
 from llm_review_aggregation_spark.functions import mining, scoring, tokenize
 
-_WELL_FORMATTED_SQL = r"""^[-a-zA-Z0-9();,./!?'" ]*$"""
-
-
-def _depths(edges: dict[str, str], root: str) -> dict[str, int]:
-    d = {root: 0}
-    pending = dict(edges)
-    while pending:
-        progressed = False
-        for c, p in list(pending.items()):
-            if p in d:
-                d[c] = d[p] + 1
-                del pending[c]
-                progressed = True
-        if not progressed:  # orphaned edges (shouldn't happen in a tree)
-            for c in pending:
-                d[c] = 1
-            break
-    return d
+_OUT_SCHEMA = (
+    "group_id string, aspect string, polarity boolean, strength double, "
+    "strongest_support_phrase string, strongest_attack_phrase string, "
+    "strongest_support_feature string, strongest_attack_feature string"
+)
 
 
 def _postorder(edges: dict[str, str], root: str) -> list[str]:
@@ -68,6 +63,136 @@ def _postorder(edges: dict[str, str], root: str) -> list[str]:
     return out
 
 
+def _combine(strengths: list[float]) -> float:
+    """DF-QuAD combined strength: 1 - prod(1 - s_i) (framework.py:181-194)."""
+    prod = 1.0
+    for s in strengths:
+        prod *= 1.0 - s
+    return 1.0 - prod if strengths else 0.0
+
+
+def _make_per_group(root: str, nodes_post: list[str], children: dict[str, list[str]],
+                    edges: dict[str, str], sentiment_threshold: float):
+    """Build the cogrouped per-group kernel. Vectorized pandas throughout —
+    sorts + drop_duplicates for the max-by votes, a pivot + <=|nodes| column
+    ops for ancestor augmentation; only the <=100-node tree walk is scalar."""
+
+    def per_group(key, docs_pdf: pd.DataFrame, scored: pd.DataFrame) -> pd.DataFrame:
+        g = key[0]
+        n_reviews = len(docs_pdf)
+        if n_reviews == 0:
+            return pd.DataFrame(
+                columns=[
+                    "group_id", "aspect", "polarity", "strength",
+                    "strongest_support_phrase", "strongest_attack_phrase",
+                    "strongest_support_feature", "strongest_attack_feature",
+                ]
+            )
+
+        n_args = scored.groupby("phrase_id").size() if len(scored) else pd.Series(dtype=int)
+
+        # A8a: per-(url, phrase, node) vote = max-abs sentiment; tie -> min start
+        v = scored[scored["sentiment"].abs() > sentiment_threshold]
+        if len(v):
+            v = v.assign(absv=v["sentiment"].abs()).sort_values(
+                ["absv", "start"], ascending=[False, True], kind="mergesort"
+            )
+            pv = v.drop_duplicates(["url", "phrase_id", "node"]).rename(
+                columns={"sentiment": "vote"}
+            )[["url", "phrase_id", "phrase_ord", "phrase", "node", "vote"]]
+        else:
+            pv = pd.DataFrame(columns=["url", "phrase_id", "phrase_ord", "phrase", "node", "vote"])
+
+        # A8b: per-(url, node) review vote = sign of max-abs; tie -> min phrase_ord
+        if len(pv):
+            rv = pv.assign(absv=pv["vote"].abs()).sort_values(
+                ["absv", "phrase_ord"], ascending=[False, True], kind="mergesort"
+            ).drop_duplicates(["url", "node"])
+            rv = rv.assign(rvote=np.where(rv["vote"] > 0, 1.0, -1.0))[["url", "node", "rvote"]]
+        else:
+            rv = pd.DataFrame(columns=["url", "node", "rvote"])
+
+        # A9: per-url ancestor augmentation, children-before-parents
+        if len(rv):
+            piv = rv.pivot(index="url", columns="node", values="rvote").reindex(
+                columns=nodes_post
+            )
+            for n in nodes_post:
+                kids = children.get(n, [])
+                if not kids:
+                    continue
+                s = piv[kids].sum(axis=1)
+                fill = piv[n].isna() & (s != 0)
+                if fill.any():
+                    piv.loc[fill, n] = np.sign(s[fill])
+            asum = piv.sum(axis=0).reindex(nodes_post).fillna(0.0)
+        else:
+            asum = pd.Series(0.0, index=nodes_post)
+
+        # A10-A12: polarity, base strengths, supporter/attacker partition
+        polar = {n: bool(asum[n] >= 0) for n in nodes_post}
+        base = {
+            n: (0.5 + 0.5 * asum[n] / n_reviews) if n == root else abs(asum[n]) / n_reviews
+            for n in nodes_post
+        }
+        sup: dict[str, list[str]] = {n: [] for n in nodes_post}
+        att: dict[str, list[str]] = {n: [] for n in nodes_post}
+        for c, p in edges.items():
+            (sup if polar[p] == polar[c] else att)[p].append(c)
+
+        # A13-A14: DF-QuAD, post-order (children precede parents)
+        strength: dict[str, float] = {}
+        for n in nodes_post:
+            a = _combine([strength[c] for c in att[n]])
+            s_ = _combine([strength[c] for c in sup[n]])
+            b = base[n]
+            if a > s_:
+                strength[n] = b - b * abs(a - s_)
+            elif a < s_:
+                strength[n] = b + (1.0 - b) * abs(a - s_)
+            else:
+                strength[n] = b
+
+        # A17: strongest sub-feature = argmax (strength, name)
+        def best_feat(cands: list[str]) -> str | None:
+            return max(cands, key=lambda c: (strength[c], c)) if cands else None
+
+        # A16: strongest phrases — single-arg, well-formatted, top-5 by vote,
+        # then longest (tie -> earliest of the top-5 ordering)
+        best_sup: dict[str, str] = {}
+        best_att: dict[str, str] = {}
+        if len(pv):
+            pool = pv[
+                pv["phrase_id"].map(n_args).eq(1)
+                & pv["phrase"].map(tp.is_well_formatted)
+            ]
+            for node, sub in pool.groupby("node"):
+                for positive, dest in ((True, best_sup), (False, best_att)):
+                    side = sub[sub["vote"] > 0] if positive else sub[sub["vote"] < 0]
+                    if not len(side):
+                        continue
+                    side = side.sort_values(
+                        ["vote", "phrase_ord"], ascending=[not positive, True], kind="mergesort"
+                    ).head(5)
+                    lens = side["phrase"].str.len().to_numpy()
+                    dest[node] = side["phrase"].iloc[int(np.argmax(lens))]
+
+        return pd.DataFrame(
+            {
+                "group_id": g,
+                "aspect": nodes_post,
+                "polarity": [polar[n] for n in nodes_post],
+                "strength": [strength[n] for n in nodes_post],
+                "strongest_support_phrase": [best_sup.get(n) for n in nodes_post],
+                "strongest_attack_phrase": [best_att.get(n) for n in nodes_post],
+                "strongest_support_feature": [best_feat(sup[n]) for n in nodes_post],
+                "strongest_attack_feature": [best_feat(att[n]) for n in nodes_post],
+            }
+        )
+
+    return per_group
+
+
 def extract_arguments(
     spark,
     sentences: DataFrame,
@@ -81,194 +206,21 @@ def extract_arguments(
 ) -> DataFrame:
     parents: dict[str, str | None] = {root: None, **edges}
     nodes_post = _postorder(edges, root)
-    depths = _depths(edges, root)
-    max_depth = max(depths.values()) if depths else 0
+    children: dict[str, list[str]] = {}
+    for c, p in sorted(edges.items()):
+        children.setdefault(p, []).append(c)
 
-    nodes_df = spark.createDataFrame([(n, depths[n]) for n in nodes_post], "node string, depth int")
-    edges_df = spark.createDataFrame(
-        [(c, p, depths[c]) for c, p in sorted(edges.items())], "child string, parent string, child_depth int"
-    )
-
-    # ---- T6 + T9 + M3 ----------------------------------------------------
+    # ---- T6 + T9 + M3: distributed, one pass over the cached sentences ----
     phrases = tokenize.segment_phrases(sentences, phrase_max_words)
     matches = mining.match_glossary(phrases, nodes_post, parents, glossary)
-    scored = scoring.score_sentiment_instances(matches, sentiment_scorer).cache()
-
-    # number of arg matches per phrase (framework.py: phrase.n_args())
-    arg_counts = scored.groupBy("phrase_id").agg(F.count(F.lit(1)).alias("n_args"))
-
-    # ---- A8: phrase-level votes ------------------------------------------
-    phrase_votes = (
-        scored.filter(F.abs("sentiment") > sentiment_threshold)
-        .groupBy("group_id", "url", "phrase_id", "phrase_ord", "phrase", "node")
-        .agg(F.expr("max_by(sentiment, struct(abs(sentiment), -start))").alias("vote"))
-        .cache()
+    scored = scoring.score_sentiment_instances(matches, sentiment_scorer).select(
+        "group_id", "url", "phrase_id", "phrase_ord", "phrase", "node", "start", "sentiment"
     )
 
-    # review-level votes: max-abs across phrases, then sign (+/-1)
-    review_votes = (
-        phrase_votes.groupBy("group_id", "url", "node")
-        .agg(F.expr("max_by(vote, struct(abs(vote), -phrase_ord))").alias("raw"))
-        .withColumn("vote", F.when(F.col("raw") > 0, F.lit(1.0)).otherwise(F.lit(-1.0)))
-        .drop("raw")
+    per_group = _make_per_group(root, nodes_post, children, dict(edges), sentiment_threshold)
+    return (
+        docs.select("group_id")
+        .groupBy("group_id")
+        .cogroup(scored.groupBy("group_id"))
+        .applyInPandas(per_group, _OUT_SCHEMA)
     )
-
-    # ---- A9: augment missing ancestors bottom-up --------------------------
-    votes = review_votes.localCheckpoint(eager=True)
-    for d in range(max_depth - 1, -1, -1):
-        level_edges = edges_df.filter(F.col("child_depth") == d + 1)
-        child_votes = votes.join(
-            F.broadcast(level_edges), votes["node"] == level_edges["child"]
-        ).select("group_id", "url", F.col("parent").alias("node"), "vote")
-        sums = (
-            child_votes.groupBy("group_id", "url", "node")
-            .agg(F.sum("vote").alias("s"))
-            .filter(F.col("s") != 0)
-            .withColumn("vote", F.when(F.col("s") > 0, F.lit(1.0)).otherwise(F.lit(-1.0)))
-            .drop("s")
-        )
-        new = sums.join(votes, ["group_id", "url", "node"], "left_anti")
-        votes = votes.union(new).localCheckpoint(eager=True)
-
-    # ---- A10-A12: per-(group,node) sums, polarity, relations --------------
-    n_reviews = docs.groupBy("group_id").agg(F.count(F.lit(1)).alias("n_reviews"))
-    grid = n_reviews.crossJoin(F.broadcast(nodes_df))
-    sums = votes.groupBy("group_id", "node").agg(F.sum("vote").alias("vote_sum"))
-    asums = (
-        grid.join(sums, ["group_id", "node"], "left")
-        .fillna({"vote_sum": 0.0})
-        .withColumn("polarity", F.col("vote_sum") >= 0)
-        .withColumn(
-            "base",
-            F.when(
-                F.col("node") == root, 0.5 + 0.5 * F.col("vote_sum") / F.col("n_reviews")
-            ).otherwise(F.abs(F.col("vote_sum")) / F.col("n_reviews")),
-        )
-        .cache()
-    )
-
-    child_side = asums.select(
-        "group_id", F.col("node").alias("child"), F.col("vote_sum").alias("child_sum")
-    )
-    parent_side = asums.select(
-        "group_id", F.col("node").alias("parent"), F.col("vote_sum").alias("parent_sum")
-    )
-    rels = (
-        child_side.join(F.broadcast(edges_df), "child")
-        .join(parent_side, ["group_id", "parent"])
-        .withColumn(
-            "rel",
-            F.when(
-                ((F.col("parent_sum") >= 0) & (F.col("child_sum") >= 0))
-                | ((F.col("parent_sum") < 0) & (F.col("child_sum") < 0)),
-                F.lit("sup"),
-            ).otherwise(F.lit("att")),
-        )
-        .select("group_id", "child", "parent", "child_depth", "rel")
-        .cache()
-    )
-
-    # ---- A13/A14: DF-QuAD strengths, bottom-up by depth --------------------
-    eps = 1e-15
-    strengths = (
-        asums.join(F.broadcast(nodes_df.filter(F.col("depth") == max_depth)), "node")
-        .select("group_id", "node", F.col("base").alias("strength"))
-        .localCheckpoint(eager=True)
-    )
-    for d in range(max_depth - 1, -1, -1):
-        level = rels.filter(F.col("child_depth") == d + 1)
-        contrib = level.join(
-            strengths.select("group_id", F.col("node").alias("child"), "strength"),
-            ["group_id", "child"],
-        )
-        combined = contrib.groupBy("group_id", "parent", "rel").agg(
-            F.when(F.max("strength") >= 1.0, F.lit(1.0))
-            .otherwise(1.0 - F.exp(F.sum(F.log1p(-F.least(F.col("strength"), F.lit(1.0 - eps))))))
-            .alias("combined")
-        )
-        pivoted = (
-            combined.groupBy("group_id", "parent")
-            .pivot("rel", ["sup", "att"])
-            .agg(F.first("combined"))
-            .fillna({"sup": 0.0, "att": 0.0})
-        )
-        level_nodes = nodes_df.filter(F.col("depth") == d)
-        base_d = asums.join(F.broadcast(level_nodes), "node").select("group_id", "node", "base")
-        stepped = (
-            base_d.join(
-                pivoted.select("group_id", F.col("parent").alias("node"), "sup", "att"),
-                ["group_id", "node"],
-                "left",
-            )
-            .fillna({"sup": 0.0, "att": 0.0})
-            .withColumn("delta", F.abs(F.col("att") - F.col("sup")))
-            .withColumn(
-                "strength",
-                F.when(F.col("att") > F.col("sup"), F.col("base") - F.col("base") * F.col("delta"))
-                .when(F.col("att") < F.col("sup"), F.col("base") + (1.0 - F.col("base")) * F.col("delta"))
-                .otherwise(F.col("base")),
-            )
-            .select("group_id", "node", "strength")
-        )
-        strengths = strengths.union(stepped).localCheckpoint(eager=True)
-
-    # ---- A17: strongest supporting/attacking subfeature --------------------
-    feat = rels.join(
-        strengths.select("group_id", F.col("node").alias("child"), "strength"),
-        ["group_id", "child"],
-    )
-    best_feats = (
-        feat.groupBy("group_id", "parent")
-        .agg(
-            F.expr("max_by(child, struct(strength, child)) FILTER (WHERE rel = 'sup')").alias(
-                "strongest_support_feature"
-            ),
-            F.expr("max_by(child, struct(strength, child)) FILTER (WHERE rel = 'att')").alias(
-                "strongest_attack_feature"
-            ),
-        )
-        .withColumnRenamed("parent", "node")
-    )
-
-    # ---- A16: strongest phrases (n_args == 1, well-formatted, top-5) -------
-    pool = (
-        phrase_votes.join(arg_counts, "phrase_id")
-        .filter((F.col("n_args") == 1) & F.col("phrase").rlike(_WELL_FORMATTED_SQL))
-        .select("group_id", "node", "phrase", "phrase_ord", "vote")
-    )
-    w_sup = Window.partitionBy("group_id", "node").orderBy(F.desc("vote"), F.asc("phrase_ord"))
-    best_sup = (
-        pool.filter(F.col("vote") > 0)
-        .withColumn("rn", F.row_number().over(w_sup))
-        .filter(F.col("rn") <= 5)
-        .groupBy("group_id", "node")
-        .agg(F.expr("max_by(phrase, struct(length(phrase), -rn))").alias("strongest_support_phrase"))
-    )
-    w_att = Window.partitionBy("group_id", "node").orderBy(F.asc("vote"), F.asc("phrase_ord"))
-    best_att = (
-        pool.filter(F.col("vote") < 0)
-        .withColumn("rn", F.row_number().over(w_att))
-        .filter(F.col("rn") <= 5)
-        .groupBy("group_id", "node")
-        .agg(F.expr("max_by(phrase, struct(length(phrase), -rn))").alias("strongest_attack_phrase"))
-    )
-
-    # ---- assemble ----------------------------------------------------------
-    out = (
-        asums.select("group_id", "node", "polarity")
-        .join(strengths, ["group_id", "node"])
-        .join(best_sup, ["group_id", "node"], "left")
-        .join(best_att, ["group_id", "node"], "left")
-        .join(best_feats, ["group_id", "node"], "left")
-        .select(
-            "group_id",
-            F.col("node").alias("aspect"),
-            "polarity",
-            "strength",
-            "strongest_support_phrase",
-            "strongest_attack_phrase",
-            "strongest_support_feature",
-            "strongest_attack_feature",
-        )
-    )
-    return out

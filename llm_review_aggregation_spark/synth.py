@@ -202,7 +202,7 @@ def synthesize_pages(spark, n_groups: int = 10, docs_per_group: int = 40, seed: 
     return df
 
 
-def pages_from_documents(spark, sf_dir: str):
+def pages_from_documents(spark, sf_dir: str, replicate: int = 1):
     """Wrap the driver's documents.parquet into the pages schema.
 
     group id = the `source` column (the product analog); deterministic HTML
@@ -210,12 +210,21 @@ def pages_from_documents(spark, sf_dir: str):
     sentence structure (one endless token stream), which degenerates the
     single-mention sentence miners (T7), so a sentence boundary is inserted
     every 8 words — deterministic, JVM-side.
+
+    ``replicate=R`` scales the corpus Rx for throughput/scaling runs: each
+    replica gets its own group namespace (``{source}xR``), so group sizes
+    stay constant while doc count grows — the shape a bigger crawl has.
     """
     from pyspark.sql import functions as F
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").withColumn(
         "text", F.regexp_replace("text", r"((?:\S+\s+){5}\S+)\s+", "$1.\n")
     )
+    if replicate > 1:
+        docs = docs.crossJoin(
+            spark.range(replicate).select(F.col("id").alias("_rep"))
+        ).withColumn("source", F.concat(F.col("source"), F.lit("x"), F.col("_rep")))
+        docs = docs.repartition(spark.sparkContext.defaultParallelism * 2)
     return docs.select(
         F.concat(F.lit("https://example.test/"), F.col("source"), F.lit("/d"), F.lpad(F.col("doc_id").cast("string"), 9, "0")).alias("url"),
         (F.lit(_BASE_TS.replace(tzinfo=None)) + F.make_interval(secs=F.col("doc_id").cast("double") * 37)).alias("warc_ts"),

@@ -1,0 +1,86 @@
+"""spark-submit entry point for the KG-construction pipeline.
+
+Launch (see scripts/submit.sh, which builds the --py-files zip):
+
+    spark-submit --master local[32] --py-files /tmp/llmra_spark.zip \
+        scripts/run_pipeline_cli.py \
+        --pages-parquet /data/pages --work-dir /data/run1 --out /data/triples
+
+On a cluster, --master/--num-executors come from spark-submit as usual; the
+pipeline itself is parallelism-agnostic (no local[] assumptions). Input is
+either an existing pages table (--pages-parquet) or a corpus derived from a
+documents table (--from-documents SF_DIR [--replicate R]).
+
+Resumable: re-running with the same --work-dir skips completed stages via
+their lineage rows (plans/lineage.py).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+from pyspark.sql import SparkSession
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    src = ap.add_mutually_exclusive_group(required=True)
+    src.add_argument("--pages-parquet", help="path to a pages(url,warc_ts,html,text,lang) table")
+    src.add_argument("--from-documents", help="SF dir containing documents.parquet to wrap as pages")
+    src.add_argument("--synthetic", type=int, metavar="N_GROUPS", help="seeded synthetic corpus")
+    ap.add_argument("--replicate", type=int, default=1, help="corpus replication for --from-documents")
+    ap.add_argument("--docs-per-group", type=int, default=40, help="for --synthetic")
+    ap.add_argument("--work-dir", help="checkpoint/lineage dir (enables resume)")
+    ap.add_argument("--out", help="write triples parquet here")
+    ap.add_argument("--scorer", default=None, help="override scorer backend (hash|lexicon)")
+    args = ap.parse_args()
+
+    # Imports resolved from the --py-files zip on executors and driver alike.
+    from llm_review_aggregation_spark import synth
+    from llm_review_aggregation_spark.config import DEFAULT_CONFIG
+    from llm_review_aggregation_spark.plans.pipeline import run_pipeline
+
+    spark = SparkSession.builder.appName("kg-construct").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    if args.pages_parquet:
+        pages = spark.read.parquet(args.pages_parquet)
+    elif args.from_documents:
+        pages = synth.pages_from_documents(spark, args.from_documents, replicate=args.replicate)
+    else:
+        pages = synth.synthesize_pages(spark, n_groups=args.synthetic, docs_per_group=args.docs_per_group)
+
+    try:
+        import __spark_entry__ as entrymod
+
+        cfg = entrymod._KG_CFG if args.from_documents else DEFAULT_CONFIG
+    except ImportError:
+        cfg = DEFAULT_CONFIG
+
+    t0 = time.monotonic()
+    result = run_pipeline(spark, pages, cfg, work_dir=args.work_dir)
+    if args.out:
+        result.triples.write.mode("overwrite").parquet(args.out)
+        n_triples = spark.read.parquet(args.out).count()
+    else:
+        n_triples = result.triples.count()
+    elapsed = time.monotonic() - t0
+    print(
+        json.dumps(
+            {
+                "n_triples": n_triples,
+                "elapsed_sec": round(elapsed, 3),
+                "triples_per_sec": round(n_triples / elapsed, 3),
+                "root": result.root_name,
+                "work_dir": args.work_dir,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())
