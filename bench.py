@@ -77,28 +77,19 @@ def main() -> None:
 
     out: dict = {"metric": "headline_queries_total", "unit": "sec", "sf": sf}
 
-    # ---- scaling leg at N = cpus/4 first (cold JVM excluded via warmup) ----
-    # The scaling legs run the flagship on a replicated corpus (same input at
-    # both levels): the per-sf corpus is small enough that fixed scheduling
-    # overhead otherwise dominates and the measurement shows Amdahl floor,
-    # not operator scalability.
-    replicate = int(os.environ.get("SPARK_GRAFT_SCALING_REPLICATE", "16"))
-    scaling: dict = {}
-    if do_scaling:
-        n_small = max(2, cpus // 4)
-        spark_n = get_spark(app_name="bench-scaling-n", cpus=n_small, shuffle_partitions=n_small)
-        spark_n.sparkContext.setLogLevel("ERROR")
-        _warmup(spark_n)
-        sec_n, sc_docs, sc_triples = _flagship_secs(spark_n, sf_dir, replicate=replicate)
-        spark_n.stop()
-        scaling = {
-            "cpus_n": n_small,
-            "replicate": replicate,
-            "n_docs": sc_docs,
-            "sec_n": round(sec_n, 3),
-            "docs_per_sec_n": round(sc_docs / sec_n, 2),
-            "triples_per_sec_n": round(sc_triples / sec_n, 2),
-        }
+    # ---- scaling leg at N first (cold JVM excluded via warmup) -------------
+    # Methodology (see BASELINE.md "Scaling evidence"):
+    # - the legs run the flagship on a replicated corpus (same input at both
+    #   levels): the per-sf corpus alone is small enough that fixed
+    #   per-stage scheduling dominates and the measurement shows the Amdahl
+    #   floor, not operator scalability;
+    # - the pair is (cpus/8, cpus/2), i.e. local[4] vs local[16] on the
+    #   32-core sandbox: every Spark local task slot drives a JVM thread
+    #   PLUS an Arrow/pandas Python worker (~2 busy cores per slot on this
+    #   UDF-heavy load, measured), so local[16] already saturates 32
+    #   hardware cores and local[32] oversubscribes — measuring contention,
+    #   not scaling.
+    replicate = int(os.environ.get("SPARK_GRAFT_SCALING_REPLICATE", "96"))
 
     # ---- headline queries at full parallelism ----
     spark = get_spark(app_name="bench", cpus=cpus, shuffle_partitions=cpus)
@@ -121,25 +112,38 @@ def main() -> None:
     out["docs_per_sec"] = round(n_docs / sec_flag, 2)
     out["n_docs"] = n_docs
     out["n_triples"] = n_triples
-
-    if do_scaling:
-        # 4N leg on the same replicated input, same (warm) session
-        sec_4n, sc_docs, sc_triples = _flagship_secs(spark, sf_dir, replicate=replicate)
-        speedup = scaling["sec_n"] / sec_4n
-        factor = cpus / scaling["cpus_n"]
-        scaling.update(
-            {
-                "cpus_4n": cpus,
-                "sec_4n": round(sec_4n, 3),
-                "docs_per_sec_4n": round(sc_docs / sec_4n, 2),
-                "triples_per_sec_4n": round(sc_triples / sec_4n, 2),
-                "speedup": round(speedup, 3),
-                "efficiency": round(speedup / factor, 3),
-            }
-        )
-        out["scaling"] = scaling
-
     spark.stop()
+
+    # ---- scaling legs, back-to-back in time (host throughput drifts) -------
+    if do_scaling:
+        n_small = int(os.environ.get("SPARK_GRAFT_SCALING_N", str(max(2, cpus // 8))))
+        n_big = 4 * n_small
+        legs = {}
+        for c in (n_big, n_small):
+            spark_c = get_spark(app_name=f"bench-scaling-{c}", cpus=c, shuffle_partitions=c)
+            spark_c.sparkContext.setLogLevel("ERROR")
+            _warmup(spark_c)
+            sec, sc_docs, sc_triples = _flagship_secs(spark_c, sf_dir, replicate=replicate)
+            spark_c.stop()
+            legs[c] = (sec, sc_docs, sc_triples)
+        sec_n, sc_docs, sc_triples = legs[n_small]
+        sec_4n = legs[n_big][0]
+        speedup = sec_n / sec_4n
+        out["scaling"] = {
+            "cpus_n": n_small,
+            "cpus_4n": n_big,
+            "replicate": replicate,
+            "n_docs": sc_docs,
+            "sec_n": round(sec_n, 3),
+            "sec_4n": round(sec_4n, 3),
+            "docs_per_sec_n": round(sc_docs / sec_n, 2),
+            "docs_per_sec_4n": round(sc_docs / sec_4n, 2),
+            "triples_per_sec_n": round(sc_triples / sec_n, 2),
+            "triples_per_sec_4n": round(sc_triples / sec_4n, 2),
+            "speedup": round(speedup, 3),
+            "efficiency": round(speedup / 4.0, 3),
+        }
+
     print(json.dumps(out))
 
 

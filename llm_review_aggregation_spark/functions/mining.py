@@ -121,8 +121,11 @@ def build_phrase_vocab(
     """
     tok = sentences.select("tokens")
     pairs1 = set(_scored_pairs(tok, min_count, threshold, max_vocab))
-    merged = tok.select(make_apply_phrases_udf(pairs1)(F.col("tokens")).alias("tokens"))
+    # cache the bigram-merged corpus: pass 2 scans it twice (unigram and
+    # bigram aggregation) and the merge UDF is the expensive part
+    merged = tok.select(make_apply_phrases_udf(pairs1)(F.col("tokens")).alias("tokens")).cache()
     pairs2 = set(_scored_pairs(merged, min_count, threshold, max_vocab))
+    merged.unpersist()
     return pairs2
 
 

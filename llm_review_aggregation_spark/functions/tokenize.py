@@ -1,24 +1,28 @@
 """E2 — segment: docs -> sentences (+ argumentation phrases).
 
-UDTF-style 1->N explode expressed as pandas UDF returning array<string> +
-posexplode (reference T1/T2: ontology_bert/phrase_tokenizer.py:17-27,
-T6: arg_framework/review.py:43-66).
+UDTF-style 1->N explode (reference T1/T2: ontology_bert/
+phrase_tokenizer.py:17-27, T6: arg_framework/review.py:43-66), expressed as
+one `mapInPandas` per segmentation: each input row yields its exploded
+sentence/phrase rows with tokens in the same Python pass — one Arrow
+round-trip, instead of a sentence-split UDF + posexplode + a second
+word-tokenize UDF (two Python stages and twice the Arrow traffic).
 """
 
 from __future__ import annotations
 
 import pandas as pd
 from pyspark.sql import DataFrame
-from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import ArrayType, StringType
 
 from llm_review_aggregation_spark import textproc as tp
 
+_SENT_SCHEMA = "url string, group_id string, sent_id int, sentence string, tokens array<string>"
 
-@pandas_udf(ArrayType(StringType()))
-def sent_tokenize_udf(text: pd.Series) -> pd.Series:
-    return text.map(lambda t: [tp.filter_underscore(s) for s in tp.sent_tokenize(t or "")])
+_PHRASE_SCHEMA = (
+    "url string, group_id string, sent_id int, phrase_id string, phrase_ord long, "
+    "phrase string, tokens array<string>"
+)
 
 
 @pandas_udf(ArrayType(StringType()))
@@ -28,20 +32,17 @@ def word_tokenize_udf(sentence: pd.Series) -> pd.Series:
 
 def segment_sentences(docs: DataFrame) -> DataFrame:
     """docs(url, group_id, text) -> sentences(url, group_id, sent_id, sentence, tokens)."""
-    sents = docs.select(
-        "url",
-        "group_id",
-        F.posexplode(sent_tokenize_udf(F.col("text"))).alias("sent_id", "sentence"),
-    )
-    return sents.withColumn("tokens", word_tokenize_udf(F.col("sentence")))
 
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for url, gid, text in zip(pdf["url"], pdf["group_id"], pdf["text"]):
+                for sid, raw in enumerate(tp.sent_tokenize(text or "")):
+                    s = tp.filter_underscore(raw)
+                    rows.append((url, gid, sid, s, tp.word_tokenize(s)))
+            yield pd.DataFrame(rows, columns=["url", "group_id", "sent_id", "sentence", "tokens"])
 
-def make_split_phrases_udf(max_words: float):
-    @pandas_udf(ArrayType(StringType()))
-    def split_phrases_udf(sentence: pd.Series) -> pd.Series:
-        return sentence.map(lambda s: tp.split_phrases(s or "", max_words))
-
-    return split_phrases_udf
+    return docs.select("url", "group_id", "text").mapInPandas(gen, _SENT_SCHEMA)
 
 
 def segment_phrases(sentences: DataFrame, max_words: float) -> DataFrame:
@@ -50,19 +51,30 @@ def segment_phrases(sentences: DataFrame, max_words: float) -> DataFrame:
     The reference re-tokenizes raw review bodies for argumentation
     (review.py:58-66); this engine reuses the sentence table — one upstream
     scan instead of two — and splits on the same conjunction regex.
+    `phrase_id` is globally unique; `phrase_ord` pins within-review order.
     """
-    udf = make_split_phrases_udf(max_words)
-    ph = sentences.select(
-        "url",
-        "group_id",
-        "sent_id",
-        F.posexplode(udf(F.col("sentence"))).alias("phrase_pos", "phrase"),
-    )
-    ph = ph.withColumn(
-        "phrase_id",
-        F.concat_ws("#", "url", F.col("sent_id").cast("string"), F.col("phrase_pos").cast("string")),
-    ).withColumn(
-        "phrase_ord",
-        (F.col("sent_id").cast("long") * 100000 + F.col("phrase_pos")).cast("long"),
-    )
-    return ph.withColumn("tokens", word_tokenize_udf(F.col("phrase")))
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for url, gid, sid, sentence in zip(
+                pdf["url"], pdf["group_id"], pdf["sent_id"], pdf["sentence"]
+            ):
+                for pos, phrase in enumerate(tp.split_phrases(sentence or "", max_words)):
+                    rows.append(
+                        (
+                            url,
+                            gid,
+                            int(sid),
+                            f"{url}#{sid}#{pos}",
+                            int(sid) * 100000 + pos,
+                            phrase,
+                            tp.word_tokenize(phrase),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["url", "group_id", "sent_id", "phrase_id", "phrase_ord", "phrase", "tokens"],
+            )
+
+    return sentences.select("url", "group_id", "sent_id", "sentence").mapInPandas(gen, _PHRASE_SCHEMA)

@@ -221,10 +221,13 @@ def pages_from_documents(spark, sf_dir: str, replicate: int = 1):
         "text", F.regexp_replace("text", r"((?:\S+\s+){5}\S+)\s+", "$1.\n")
     )
     if replicate > 1:
-        docs = docs.crossJoin(
-            spark.range(replicate).select(F.col("id").alias("_rep"))
-        ).withColumn("source", F.concat(F.col("source"), F.lit("x"), F.col("_rep")))
+        # repartition the small base BEFORE the broadcast cross join: the
+        # shuffle moves only the base rows; the Rx blow-up happens in place
+        # (broadcast nested-loop join keeps the stream side's partitioning)
         docs = docs.repartition(spark.sparkContext.defaultParallelism * 2)
+        docs = docs.crossJoin(
+            F.broadcast(spark.range(replicate).select(F.col("id").alias("_rep")))
+        ).withColumn("source", F.concat(F.col("source"), F.lit("x"), F.col("_rep")))
     return docs.select(
         F.concat(F.lit("https://example.test/"), F.col("source"), F.lit("/d"), F.lpad(F.col("doc_id").cast("string"), 9, "0")).alias("url"),
         (F.lit(_BASE_TS.replace(tzinfo=None)) + F.make_interval(secs=F.col("doc_id").cast("double") * 37)).alias("warc_ts"),
