@@ -5,9 +5,11 @@
   triples) over pages derived from /root/testdata/sf0.001.
 - ``queries()``: one callable per implemented operator family
   (SURVEY.md §2 + the corpus ops), each (spark, sf_dir) -> DataFrame.
+  30 queries: 22 oracle-backed, 8 rows-only.
 - ``oracle_sql()``: DuckDB-equivalent SQL per query where the semantics are
-  ANSI-SQL-expressible. UDF-backed / driver-graph ops (kg_*, minhash/simhash,
-  LSH ANN, multimodal) are rows-only by design.
+  ANSI-SQL-expressible. UDF-backed / driver-graph / iterative ops (kg_*,
+  minhash/simhash, LSH ANN, label-propagation components, multimodal,
+  streaming, lineage) are rows-only by design.
 
 Column names are aliased identically on both sides; float aggregates go
 through DECIMAL(18,4) for order-independent exact sums, or are rounded to a
@@ -397,6 +399,57 @@ def _q_media_features(spark, sf_dir):
     ).orderBy("media_id")
 
 
+def _q_dedup_components(spark, sf_dir):
+    """Connected-components canonicalization of near-duplicate documents:
+    MinHash-LSH candidate pairs -> label-propagation CC -> component sizes."""
+    from llm_review_aggregation_spark.operators import canonicalize
+
+    d = _load(spark, sf_dir, "documents")
+    pairs = dedup.minhash_near_duplicates(d, "text", "doc_id", threshold=0.5).select(
+        F.col("a").cast("string").alias("src"), F.col("b").cast("string").alias("dst")
+    )
+    labels = canonicalize.label_propagation(pairs, max_rounds=5)
+    return (
+        labels.groupBy("component")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("component")
+    )
+
+
+def _q_salted_term_counts(spark, sf_dir):
+    """Skew-safe two-stage (salted) top-k term counting — must agree with
+    term_counts_top100 exactly."""
+    from llm_review_aggregation_spark.operators import skew
+
+    d = _load(spark, sf_dir, "documents")
+    toks = d.select(F.explode(_tokens(F.col("text"))).alias("term"))
+    return skew.salted_topk_by_count(toks, "term", 100).select("term", F.col("count").alias("n"))
+
+
+def _q_kg_lineage(spark, sf_dir):
+    """Per-stage lineage rows from a checkpointed pipeline run (resume
+    metadata): (stage, partitions, output_rows)."""
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as tmp:
+        pages = synth.pages_from_documents(spark, "/root/testdata/sf0.001")
+        run_pipeline(spark, pages, _KG_CFG, work_dir=tmp)
+        from llm_review_aggregation_spark.plans.lineage import StageStore
+
+        lin = StageStore(spark, tmp).lineage()
+        return (
+            lin.groupBy("stage")
+            .agg(
+                F.sum("output_rows").alias("output_rows"),
+                F.count(F.lit(1)).alias("n_partitions"),
+                F.min("status").alias("status"),
+            )
+            .select("stage", "output_rows", "status")
+            .orderBy("stage")
+            .localCheckpoint(eager=True)
+        )
+
+
 def _q_streaming_hourly(spark, sf_dir):
     import tempfile
 
@@ -446,6 +499,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_near_dup": _q_cosine_near_dup,
         "token_count_bpe": _q_token_count_bpe,
         "quality_scores": _q_quality_scores,
+        "salted_term_counts": _q_salted_term_counts,
         # rows-only: UDF-backed / driver-graph / approximate / streaming
         "kg_triples": _q_kg_triples,
         "minhash_pairs": _q_minhash_pairs,
@@ -453,6 +507,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_ann_topk": _q_lsh_ann_topk,
         "media_features": _q_media_features,
         "streaming_hourly": _q_streaming_hourly,
+        "dedup_components": _q_dedup_components,
+        "kg_lineage": _q_kg_lineage,
     }
 
 
@@ -594,6 +650,12 @@ def oracle_sql() -> dict[str, str]:
             WHERE len(list_intersect(a.toks, b.toks))
                   / greatest(len(list_distinct(list_concat(a.toks, b.toks))), 1)::DOUBLE >= 0.5
             ORDER BY source, a, b
+        """,
+        "salted_term_counts": """
+            SELECT term, count(*) AS n
+            FROM (SELECT unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS term
+                  FROM documents)
+            GROUP BY term ORDER BY n DESC, term ASC LIMIT 100
         """,
         "cosine_near_dup": """
             SELECT a.vec_id AS a, b.vec_id AS b,

@@ -187,3 +187,46 @@ class TestStreaming:
         ev.run_append_to_memory(deduped, "dedup_events", str(tmp_path / "ckpt2"))
         n = spark.sql("select count(distinct event_id) c, count(*) n from dedup_events").first()
         assert n["c"] == n["n"] == 50
+
+
+class TestSkew:
+    def test_salted_count_equals_plain(self, spark):
+        from llm_review_aggregation_spark.operators import skew
+
+        d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        toks = d.select(F.explode(F.split(F.lower("text"), r"\s+")).alias("term")).filter(
+            F.col("term") != ""
+        )
+        plain = {r["term"]: r["count"] for r in toks.groupBy("term").count().collect()}
+        salted = {r["term"]: r["count"] for r in skew.salted_count(toks, ["term"]).collect()}
+        assert salted == plain
+
+    def test_salted_topk_matches_orderby(self, spark):
+        from llm_review_aggregation_spark.operators import skew
+
+        d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        toks = d.select(F.explode(F.split(F.lower("text"), r"\s+")).alias("term")).filter(
+            F.col("term") != ""
+        )
+        want = [
+            (r["term"], r["count"])
+            for r in toks.groupBy("term").count().orderBy(F.desc("count"), F.asc("term")).limit(10).collect()
+        ]
+        got = [(r["term"], r["count"]) for r in skew.salted_topk_by_count(toks, "term", 10).collect()]
+        assert got == want
+
+    def test_salted_agg_holistic(self, spark):
+        from llm_review_aggregation_spark.operators import skew
+
+        d = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(50)
+        rows = skew.salted_agg(
+            d.select("source", "doc_id"),
+            ["source"],
+            partial_aggs=[F.collect_set("doc_id").alias("ids")],
+            merge_aggs=[F.array_distinct(F.flatten(F.collect_list("ids"))).alias("ids")],
+        ).collect()
+        want = {
+            r["source"]: set(r["ids"])
+            for r in d.groupBy("source").agg(F.collect_set("doc_id").alias("ids")).collect()
+        }
+        assert {r["source"]: set(r["ids"]) for r in rows} == want
