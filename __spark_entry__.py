@@ -299,9 +299,12 @@ def _q_jaccard_pairs_by_source(spark, sf_dir):
     )
     a = sh.select(F.col("source"), F.col("doc_id").alias("a"), F.col("toks").alias("ta"))
     b = sh.select(F.col("source"), F.col("doc_id").alias("b"), F.col("toks").alias("tb"))
+    # sound prefilter: J >= 0.5 requires min(|A|,|B|) >= 0.5*max(|A|,|B|),
+    # so the expensive array_intersect runs on a fraction of the pairs
+    na, nb = F.size("ta"), F.size("tb")
     return (
         a.join(b, "source")
-        .filter(F.col("a") < F.col("b"))
+        .filter((F.col("a") < F.col("b")) & (F.least(na, nb) * 2 >= F.greatest(na, nb)))
         .withColumn(
             "jaccard",
             F.round(

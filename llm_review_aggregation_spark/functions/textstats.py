@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import hashlib
 
+import numpy as _np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -92,16 +93,32 @@ def doc_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _simhash64(text: str) -> int:
-    acc = [0] * 64
-    for tok in (text or "").lower().split():
+_MD5_CACHE: dict[str, int] = {}
+
+
+def _tok_hash64(tok: str) -> int:
+    h = _MD5_CACHE.get(tok)
+    if h is None:
         h = int.from_bytes(hashlib.md5(tok.encode("utf-8")).digest()[:8], "big")
-        for b in range(64):
-            acc[b] += 1 if (h >> b) & 1 else -1
-    v = 0
-    for b in range(64):
-        if acc[b] > 0:
-            v |= 1 << b
+        if len(_MD5_CACHE) < 1_000_000:
+            _MD5_CACHE[tok] = h
+    return h
+
+
+_SHIFTS = _np.arange(64, dtype=_np.uint64)
+
+
+def _simhash64(text: str) -> int:
+    """64-bit simhash: per-bit majority vote over token md5 hashes.
+    Vectorized (numpy bit matrix); bit set iff strictly more 1s than 0s —
+    identical output to the per-bit accumulator formulation."""
+    toks = (text or "").lower().split()
+    if not toks:
+        return -(2**63)
+    hs = _np.fromiter((_tok_hash64(t) for t in toks), dtype=_np.uint64, count=len(toks))
+    ones = ((hs[:, None] >> _SHIFTS) & _np.uint64(1)).sum(axis=0)
+    bits = (ones * 2 > len(toks)).astype(_np.uint64)
+    v = int((bits << _SHIFTS).sum(dtype=_np.uint64))
     return v - 2**63  # signed long
 
 

@@ -19,8 +19,10 @@ dictionary is unbounded, so:
 
 from __future__ import annotations
 
+import functools
 import hashlib
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -79,21 +81,41 @@ def components_to_synsets(labels: DataFrame, counts: DataFrame) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+_SHINGLE_CACHE: dict[str, int] = {}
+
+
+def _shingle_hash64(s: str) -> int:
+    h = _SHINGLE_CACHE.get(s)
+    if h is None:
+        h = int.from_bytes(hashlib.md5(s.encode("utf-8")).digest()[:8], "big")
+        if len(_SHINGLE_CACHE) < 1_000_000:
+            _SHINGLE_CACHE[s] = h
+    return h
+
+
+@functools.lru_cache(maxsize=8)
+def _perm_constants(num_hashes: int) -> tuple[np.ndarray, np.ndarray]:
+    rs = np.random.RandomState(1_234_567)
+    a = rs.randint(1, 2**62, size=num_hashes, dtype=np.uint64) * np.uint64(2) + np.uint64(1)
+    b = rs.randint(0, 2**62, size=num_hashes, dtype=np.uint64)
+    return a, b
+
+
 def _minhash_signature(text: str, num_hashes: int, shingle_k: int) -> list[int]:
+    """min over shingles of num_hashes universal hashes. One md5 per shingle
+    (cached — shingle space is bounded on natural text), then vectorized
+    odd-multiplier permutations `a*h+b mod 2^64` — same LSH guarantees as
+    per-(hash, shingle) digests at a fraction of the cost."""
     toks = text.split()
     if len(toks) < shingle_k:
         shingles = {" ".join(toks)} if toks else {""}
     else:
         shingles = {" ".join(toks[i : i + shingle_k]) for i in range(len(toks) - shingle_k + 1)}
-    sig = []
-    for h in range(num_hashes):
-        best = None
-        for s in shingles:
-            v = int.from_bytes(hashlib.md5(f"{h}:{s}".encode("utf-8")).digest()[:8], "big")
-            if best is None or v < best:
-                best = v
-        sig.append(best or 0)
-    return sig
+    base = np.fromiter((_shingle_hash64(s) for s in shingles), dtype=np.uint64, count=len(shingles))
+    a, b = _perm_constants(num_hashes)
+    with np.errstate(over="ignore"):
+        vals = a[:, None] * base[None, :] + b[:, None]  # uint64 wrap-around
+    return [int(v) for v in vals.min(axis=1)]
 
 
 def make_minhash_udf(num_hashes: int, shingle_k: int):

@@ -75,9 +75,12 @@ def jaccard_pairs(df: DataFrame, text_col: str, id_col: str, k: int = 3, thresho
         cand = left.crossJoin(right).filter(F.col("a") < F.col("b"))
     a = sh.select(F.col("id").alias("a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col("id").alias("b"), F.col("sh").alias("sh_b"))
+    # sound prefilter: J >= t requires min(|A|,|B|) >= t*max(|A|,|B|)
+    na, nb = F.size("sh_a"), F.size("sh_b")
     return (
         cand.join(a, "a")
         .join(b, "b")
+        .filter(F.least(na, nb) >= F.lit(threshold) * F.greatest(na, nb))
         .withColumn(
             "jaccard",
             F.size(F.array_intersect("sh_a", "sh_b"))
