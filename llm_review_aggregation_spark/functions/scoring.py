@@ -210,13 +210,13 @@ def make_scorers(kind: str, params: dict):
             LexiconRelationScorer(meronyms, canon),
             LexiconSentimentScorer(positive, negative),
         )
-    if kind == "bert":  # pragma: no cover - heavy deps absent in CI
-        try:
-            import torch  # noqa: F401
-        except ImportError as exc:
-            raise NotImplementedError(
-                "BERT scorer backend requires torch/transformers; install them "
-                "and provide trained weights (see reference models M1-M3)"
-            ) from exc
-        raise NotImplementedError("BERT backend stub — wire trained weights here")
+    if kind == "bert":
+        from llm_review_aggregation_spark.functions import bert_scorers as bs
+
+        bs._require_torch()  # fail fast on the driver, not mid-job on executors
+        return (
+            bs.BertEntityScorer(params["entity_weights"], params.get("batch_size", 32)),
+            bs.BertRelationScorer(params["relation_weights"], params.get("batch_size", 16)),
+            bs.BertSentimentScorer(params["sentiment_weights"], params.get("batch_size", 32)),
+        )
     raise ValueError(f"unknown scorer kind: {kind}")
