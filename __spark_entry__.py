@@ -5,7 +5,7 @@
   triples) over pages derived from /root/testdata/sf0.001.
 - ``queries()``: one callable per implemented operator family
   (SURVEY.md §2 + the corpus ops), each (spark, sf_dir) -> DataFrame.
-  30 queries: 22 oracle-backed, 8 rows-only.
+  31 queries: 23 oracle-backed, 8 rows-only.
 - ``oracle_sql()``: DuckDB-equivalent SQL per query where the semantics are
   ANSI-SQL-expressible. UDF-backed / driver-graph / iterative ops (kg_*,
   minhash/simhash, LSH ANN, label-propagation components, multimodal,
@@ -350,6 +350,18 @@ def _q_quality_scores(spark, sf_dir):
     )
 
 
+def _q_deterministic_sample(spark, sf_dir):
+    """Seeded sampling analog (SURVEY §2.8): hash-based deterministic ~1/16
+    sample — portable across engines (md5, unlike rand(seed)) and stable
+    under repartitioning, which per-partition samplers are not."""
+    d = _load(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", "source", F.length("text").alias("n_chars"))
+        .filter(F.substring(F.md5(F.concat(F.lit("sample:"), F.col("doc_id").cast("string"))), 1, 1) == "0")
+        .orderBy("doc_id")
+    )
+
+
 def _q_topk_terms_per_source(spark, sf_dir):
     d = _load(spark, sf_dir, "documents")
     counts = (
@@ -503,6 +515,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count_bpe": _q_token_count_bpe,
         "quality_scores": _q_quality_scores,
         "salted_term_counts": _q_salted_term_counts,
+        "deterministic_sample": _q_deterministic_sample,
         # rows-only: UDF-backed / driver-graph / approximate / streaming
         "kg_triples": _q_kg_triples,
         "minhash_pairs": _q_minhash_pairs,
@@ -653,6 +666,12 @@ def oracle_sql() -> dict[str, str]:
             WHERE len(list_intersect(a.toks, b.toks))
                   / greatest(len(list_distinct(list_concat(a.toks, b.toks))), 1)::DOUBLE >= 0.5
             ORDER BY source, a, b
+        """,
+        "deterministic_sample": """
+            SELECT doc_id, source, length(text) AS n_chars
+            FROM documents
+            WHERE substring(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 1) = '0'
+            ORDER BY doc_id
         """,
         "salted_term_counts": """
             SELECT term, count(*) AS n
