@@ -111,6 +111,65 @@ class SimilarityModel:
         return self.similarity(t2, t1) >= threshold
 
 
+def ppmi_weights(counts: DataFrame) -> DataFrame:
+    """(term, bucket, count) -> (term, bucket, w) with w = max(PMI, 0),
+    fully distributed (three small aggregates joined back; no collect).
+
+    Same math as the driver-side weighting in build_similarity_model —
+    log(c * total / (row_sum * col_sum)) clamped at 0."""
+    term_tot = counts.groupBy("term").agg(F.sum("count").alias("t_sum"))
+    bucket_tot = counts.groupBy("bucket").agg(F.sum("count").alias("b_sum"))
+    total = counts.agg(F.sum("count").alias("total"))
+    w = (
+        counts.join(F.broadcast(term_tot), "term")
+        .join(F.broadcast(bucket_tot), "bucket")
+        .crossJoin(F.broadcast(total))
+        .withColumn(
+            "w",
+            F.greatest(
+                F.log(F.col("count") * F.col("total") / (F.col("t_sum") * F.col("b_sum"))),
+                F.lit(0.0),
+            ),
+        )
+        .filter(F.col("w") > 0)
+        .select("term", "bucket", "w")
+    )
+    return w
+
+
+def sparse_cosine_pairs(weights: DataFrame, threshold: float, salt_mod: int | None = None) -> DataFrame:
+    """(term, bucket, w) -> (src, dst, cos) for unordered term pairs with
+    cosine >= threshold. Classic sparse similarity join: pairs are generated
+    only where terms share a bucket (one shuffle on bucket), so cost follows
+    co-occurrence structure instead of |dictionary|^2. `salt_mod` splits hot
+    buckets (head context words) into sub-buckets — bounded recall loss,
+    same trade as canonicalize.minhash_lsh_blocks."""
+    norms = weights.groupBy("term").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("norm"))
+    lhs = weights.select("bucket", F.col("term").alias("src"), F.col("w").alias("w1"))
+    rhs = weights.select("bucket", F.col("term").alias("dst"), F.col("w").alias("w2"))
+    if salt_mod:
+        lhs = lhs.withColumn("_s", F.pmod(F.hash("src"), F.lit(salt_mod)))
+        rhs = rhs.withColumn("_s", F.pmod(F.hash("dst"), F.lit(salt_mod)))
+        join_keys = ["bucket", "_s"]
+    else:
+        join_keys = ["bucket"]
+    dots = (
+        lhs.join(rhs, join_keys)
+        .filter(F.col("src") < F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.sum(F.col("w1") * F.col("w2")).alias("dot"))
+    )
+    na = norms.select(F.col("term").alias("src"), F.col("norm").alias("n1"))
+    nb = norms.select(F.col("term").alias("dst"), F.col("norm").alias("n2"))
+    return (
+        dots.join(F.broadcast(na), "src")
+        .join(F.broadcast(nb), "dst")
+        .withColumn("cos", F.col("dot") / F.greatest(F.col("n1") * F.col("n2"), F.lit(1e-12)))
+        .filter(F.col("cos") >= threshold)
+        .select("src", "dst", "cos")
+    )
+
+
 def build_similarity_model(
     sentences: DataFrame,
     terms: list[str],

@@ -59,6 +59,81 @@ def label_propagation(edges: DataFrame, max_rounds: int = 3) -> DataFrame:
     return labels
 
 
+def cluster_synsets_scale(
+    spark,
+    sentences: DataFrame,
+    counts: dict[str, int],
+    root_name: str,
+    similarity_threshold: float,
+    num_levels: int = 3,
+    window: int = 4,
+    dim: int = 4096,
+    salt_mod: int | None = None,
+) -> tuple[dict[str, int], dict[str, list[str]]]:
+    """E5 at scale: distributed synonym canonicalization for dictionaries too
+    large for the driver-exact G1 replica (north star: "connected-components
+    canonicalization — iterative label propagation on DataFrames").
+
+    Dataflow (one shuffle per step, no driver n^2):
+
+        sentences --cooccurrence (mapInPandas + groupBy)--> (term,bucket,count)
+          --ppmi_weights (3 broadcast-joined aggregates)--> (term,bucket,w)
+          --sparse_cosine_pairs (bucket join)--> are_syns edges (cos >= tau)
+          --union lemma-equality edges--> edge set
+          --label_propagation (num_levels rounds = G1's bounded-hop CC,
+            synset_extractor.py:27-49)--> (node, component)
+          --components_to_synsets--> representative = max-count member
+            (synset_extractor.py:103); root forced representative (:105-110)
+
+    Differences vs the driver-exact path (documented parity trade, SURVEY §7
+    R3/G1): plain cosine replaces relative-cosine similarity, and greedy
+    clique ranking degenerates to connected components — exact replication of
+    tie-broken clique picking is inherently sequential. The parity gates run
+    the driver path; this path is for dictionaries >> top-k.
+    """
+    from llm_review_aggregation_spark import textproc as tp
+    from llm_review_aggregation_spark.functions import embeddings
+
+    terms = list(counts)
+    cooc = embeddings.cooccurrence_counts(sentences, terms, window, dim)
+    w = embeddings.ppmi_weights(cooc)
+    edges = embeddings.sparse_cosine_pairs(w, similarity_threshold, salt_mod=salt_mod).select(
+        "src", "dst"
+    )
+
+    # lemma-equal terms are synonyms by definition (word_vectoriser_base.py:
+    # 77-108 returns similarity 1.0); chain each lemma group with n-1 edges
+    by_lemma: dict[str, list[str]] = {}
+    for t in terms:
+        by_lemma.setdefault(tp.lemmatize_simple(t), []).append(t)
+    lemma_edges = [
+        (grp[i], grp[i + 1]) for grp in by_lemma.values() for i in range(len(grp) - 1)
+    ]
+    if lemma_edges:
+        edges = edges.union(spark.createDataFrame(lemma_edges, "src string, dst string"))
+
+    labels = label_propagation(edges, max_rounds=num_levels)
+    counts_df = spark.createDataFrame(list(counts.items()), "term string, count long")
+    full = (
+        counts_df.select(F.col("term").alias("node"))
+        .join(labels, "node", "left")
+        .withColumn("component", F.coalesce("component", "node"))
+    )
+    rows = components_to_synsets(full, counts_df).collect()
+
+    synsets: dict[str, list[str]] = {}
+    for r in rows:
+        synsets.setdefault(r["concept"], []).append(r["member"])
+    # root override: the root concept must represent its own component
+    if root_name in counts:
+        holder = next((c for c, ms in synsets.items() if root_name in ms), None)
+        if holder is not None and holder != root_name:
+            synsets[root_name] = synsets.pop(holder)
+    synsets = {c: sorted(ms) for c, ms in synsets.items()}
+    synset_counts = {c: sum(counts.get(m, 0) for m in ms) for c, ms in synsets.items()}
+    return synset_counts, synsets
+
+
 def components_to_synsets(labels: DataFrame, counts: DataFrame) -> DataFrame:
     """(node, component) + (term, count) -> (concept, member, count) where
     concept = the component's highest-count member (lexicographic tiebreak)

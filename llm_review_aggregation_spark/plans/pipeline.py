@@ -91,16 +91,26 @@ def run_pipeline(
         if root_name not in counts:
             counts = {root_name: 0, **counts}
         if len(counts) > cfg.max_driver_cluster_terms:
-            raise NotImplementedError(
-                "dictionary too large for driver-exact clustering; use "
-                "operators/canonicalize.label_propagation (scale path)"
+            # scale path: distributed PPMI + sparse-cosine edges +
+            # label-propagation connected components (no driver n^2)
+            from llm_review_aggregation_spark.operators import canonicalize
+
+            synset_counts, synsets = canonicalize.cluster_synsets_scale(
+                spark,
+                sentences,
+                counts,
+                root_name,
+                cfg.similarity_threshold,
+                num_levels=cfg.num_clustering_levels,
+                window=cfg.embedding_window,
             )
-        sim = embeddings.build_similarity_model(
-            sentences, list(counts), window=cfg.embedding_window, topn=cfg.rcs_topn
-        )
-        synset_counts, synsets = concepts_ops.cluster_synsets(
-            root_name, counts, sim, cfg.similarity_threshold, cfg.num_clustering_levels
-        )
+        else:
+            sim = embeddings.build_similarity_model(
+                sentences, list(counts), window=cfg.embedding_window, topn=cfg.rcs_topn
+            )
+            synset_counts, synsets = concepts_ops.cluster_synsets(
+                root_name, counts, sim, cfg.similarity_threshold, cfg.num_clustering_levels
+            )
         return {"root": root_name, "synset_counts": synset_counts, "synsets": synsets}
 
     concept_art = store.run_artifact("concepts", _cluster, resume)
