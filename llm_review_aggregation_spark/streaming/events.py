@@ -65,6 +65,88 @@ def streaming_dedup(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["event_id"])
 
 
+def sessionize(
+    events: DataFrame, gap_seconds: int = 1800, watermark: str = "1 hour"
+) -> DataFrame:
+    """Custom stateful operator: per-user session assembly via
+    ``applyInPandasWithState`` — events within `gap_seconds` of each other
+    belong to one session; a session closes when the watermark passes its
+    last event + gap. Emits one row per closed session.
+
+    This is the `applyInPandasWithState` pattern for operators Structured
+    Streaming lacks natively (session_window covers gap sessions; the state
+    handle generalizes to arbitrary per-key accumulators — the shape a
+    streaming KG-extraction stage would use for per-url accumulation)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = (
+        "user_id long, session_start timestamp, session_end timestamp, "
+        "n_events long, value_sum double"
+    )
+    state_schema = "start long, end long, n long, vsum double"
+
+    def fn(key, pdfs, state):
+        import pandas as pd
+
+        if state.hasTimedOut:
+            start, end, n, vsum = state.get
+            state.remove()
+            yield pd.DataFrame(
+                [
+                    {
+                        "user_id": key[0],
+                        "session_start": pd.Timestamp(start, unit="us"),
+                        "session_end": pd.Timestamp(end, unit="us"),
+                        "n_events": n,
+                        "value_sum": vsum,
+                    }
+                ]
+            )
+            return
+        start = end = None
+        n = 0
+        vsum = 0.0
+        if state.exists:
+            start, end, n, vsum = state.get
+        closed = []
+        rows = pd.concat(list(pdfs)).sort_values("ts")
+        for ts, value in zip(rows["ts"], rows["value"]):
+            us = int(ts.value // 1000)
+            if start is None:
+                start = end = us
+            elif us - end > gap_seconds * 1_000_000:
+                closed.append((start, end, n, vsum))
+                start = end = us
+                n, vsum = 0, 0.0
+            else:
+                end = us
+            n += 1
+            vsum += float(value)
+        state.update((start, end, n, vsum))
+        state.setTimeoutTimestamp(end // 1000 + gap_seconds * 1000)
+        if closed:
+            yield pd.DataFrame(
+                [
+                    {
+                        "user_id": key[0],
+                        "session_start": pd.Timestamp(s, unit="us"),
+                        "session_end": pd.Timestamp(e, unit="us"),
+                        "n_events": cn,
+                        "value_sum": cv,
+                    }
+                    for s, e, cn, cv in closed
+                ]
+            )
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn, out_schema, state_schema, "append", GroupStateTimeout.EventTimeTimeout
+        )
+    )
+
+
 def run_append_to_memory(stream_df: DataFrame, query_name: str, checkpoint_dir: str):
     q = (
         stream_df.writeStream.format("memory")

@@ -230,3 +230,36 @@ class TestSkew:
             for r in d.groupBy("source").agg(F.collect_set("doc_id").alias("ids")).collect()
         }
         assert {r["source"]: set(r["ids"]) for r in rows} == want
+
+
+class TestSessionize:
+    def test_known_sessions(self, spark, tmp_path):
+        import datetime as dt
+
+        from llm_review_aggregation_spark.streaming import events as ev
+
+        t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+        def row(eid, user, minutes, value):
+            return (eid, t0 + dt.timedelta(minutes=minutes), user, "click", value, "{}")
+
+        rows = [
+            # user 1: two sessions (gap 30 min): [0,5,10] and [120,125]
+            row(1, 1, 0, 1.0), row(2, 1, 5, 2.0), row(3, 1, 10, 3.0),
+            row(4, 1, 120, 4.0), row(5, 1, 125, 5.0),
+            # user 2: one session [0, 20]
+            row(6, 2, 0, 10.0), row(7, 2, 20, 20.0),
+            # watermark driver: a much later event so earlier sessions close
+            row(8, 3, 10000, 0.0),
+        ]
+        src = str(tmp_path / "sess_events")
+        spark.createDataFrame(rows, ev.EVENTS_SCHEMA).write.parquet(src)
+        stream = ev.read_event_stream(spark, src)
+        sess = ev.sessionize(stream, gap_seconds=1800, watermark="10 minutes")
+        ev.run_append_to_memory(sess, "sess_test", str(tmp_path / "ck"))
+        got = {
+            (r["user_id"], r["n_events"], round(r["value_sum"], 3))
+            for r in spark.table("sess_test").collect()
+        }
+        # user 3's session stays open (nothing advances the watermark past it)
+        assert got == {(1, 3, 6.0), (1, 2, 9.0), (2, 2, 30.0)}
