@@ -67,3 +67,51 @@ def test_artifact_resume(spark, work_dir):
     a2 = store.run_artifact("art", make)
     assert a1 == a2 == {"pairs": [["a", "b"]]}
     assert calls["n"] == 1
+
+
+def test_pipeline_mid_run_kill_and_resume(spark, work_dir, monkeypatch):
+    """SURVEY §7.2 M6: kill the pipeline mid-run (simulated failure in E6),
+    then re-run with the same work_dir — completed stages are not recomputed
+    (same checkpoint_ts) and the final triples match a clean run."""
+    import pytest as _pytest
+
+    from llm_review_aggregation_spark import synth
+    from llm_review_aggregation_spark.config import PipelineConfig
+    from llm_review_aggregation_spark.operators import relations
+    from llm_review_aggregation_spark.plans import pipeline as pl
+
+    pages = synth.synthesize_pages(spark, n_groups=2, docs_per_group=10)
+    cfg = PipelineConfig(root_name="camera")
+    orig = relations.accumulate_meronym_scores
+
+    def boom(*a, **k):
+        raise RuntimeError("simulated kill")
+
+    monkeypatch.setattr(relations, "accumulate_meronym_scores", boom)
+    with _pytest.raises(RuntimeError, match="simulated kill"):
+        pl.run_pipeline(spark, pages, cfg, work_dir=work_dir)
+    monkeypatch.setattr(relations, "accumulate_meronym_scores", orig)
+
+    store = StageStore(spark, work_dir)
+    ts_before = {
+        r["stage"]: r["checkpoint_ts"]
+        for r in store.lineage().select("stage", "checkpoint_ts").distinct().collect()
+    }
+    assert "aspects" in ts_before and "meronym_scores" not in ts_before
+
+    res = pl.run_pipeline(spark, pages, cfg, work_dir=work_dir)
+    ts_after = {
+        r["stage"]: r["checkpoint_ts"]
+        for r in store.lineage().select("stage", "checkpoint_ts").distinct().collect()
+    }
+    for stage, ts in ts_before.items():
+        assert ts_after[stage] == ts  # completed stages untouched by resume
+
+    clean = pl.run_pipeline(spark, pages, cfg)
+
+    def rows(df):
+        # resumed stages read from parquet with different partitioning than
+        # the ephemeral run, so float sums differ in the last ulps
+        return sorted((r["subj"], r["pred"], r["obj"], round(r["score"], 9)) for r in df.collect())
+
+    assert rows(res.triples) == rows(clean.triples)
