@@ -55,24 +55,26 @@ def _scored_pairs(tok_df: DataFrame, min_count: int, threshold: float, max_vocab
     vocab_size counts distinct unigrams + distinct bigrams, matching the
     reference library's vocabulary bookkeeping.
     """
-    uni = (
-        tok_df.select(F.explode("tokens").alias("t"))
-        .groupBy("t")
+    # unigrams and bigrams counted in ONE scan + ONE shuffle: each sentence
+    # explodes to struct(a, b=null) per token plus struct(a, b) per adjacent
+    # pair, aggregated together and split on b's nullness afterwards
+    toks = F.col("tokens")
+    unis = F.transform(toks, lambda t: F.struct(t.alias("a"), F.lit(None).cast("string").alias("b")))
+    both = F.when(F.size(toks) >= 2, F.concat(unis, _adjacent_pairs(toks))).otherwise(unis)
+    counts = (
+        tok_df.select(F.explode(both).alias("it"))
+        .groupBy(F.col("it.a").alias("a"), F.col("it.b").alias("b"))
         .agg(F.count(F.lit(1)).alias("c"))
+        .cache()
     )
-    bi = (
-        tok_df.select(F.explode(_adjacent_pairs(F.col("tokens"))).alias("p"))
-        .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
-        .groupBy("a", "b")
-        .agg(F.count(F.lit(1)).alias("c_ab"))
-    )
-    uni = uni.cache()
-    bi = bi.cache()
+    uni = counts.filter(F.col("b").isNull()).select(F.col("a").alias("t"), F.col("c"))
+    bi = counts.filter(F.col("b").isNotNull()).select("a", "b", F.col("c").alias("c_ab"))
     # vocab_size (distinct unigrams + distinct bigrams) folded into the same
     # job as the scoring join — one action total, no separate count() jobs
     vocab = F.broadcast(
-        uni.agg(F.count(F.lit(1)).alias("n_uni")).crossJoin(
-            bi.agg(F.count(F.lit(1)).alias("n_bi"))
+        counts.agg(
+            F.sum(F.when(F.col("b").isNull(), 1).otherwise(0)).alias("n_uni"),
+            F.sum(F.when(F.col("b").isNotNull(), 1).otherwise(0)).alias("n_bi"),
         )
     )
 
@@ -93,8 +95,7 @@ def _scored_pairs(tok_df: DataFrame, min_count: int, threshold: float, max_vocab
         .limit(max_vocab)
     )
     pairs = [(r["a"], r["b"]) for r in scored.select("a", "b").collect()]
-    uni.unpersist()
-    bi.unpersist()
+    counts.unpersist()
     return pairs
 
 
