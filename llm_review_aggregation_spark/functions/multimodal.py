@@ -107,6 +107,31 @@ def resize_images(media: DataFrame, out_w: int, out_h: int, decoder: str = "fake
     )
 
 
+def extract_audio_features(media: DataFrame, decoder: str = "fake") -> DataFrame:
+    """audio rows -> (media_id, n_samples, rms, zero_crossing_rate). The fake
+    codec treats the body as signed 16-bit PCM; a real torchaudio decoder
+    plugs into the same signature and batch shape."""
+    dec = _get_decoder(decoder)
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                _w, _h, _n, body = dec(bytes(payload))
+                pcm = np.frombuffer(body[: len(body) - len(body) % 2], dtype=np.int16).astype(np.float64)
+                if pcm.size == 0:
+                    rows.append((int(mid), 0, 0.0, 0.0))
+                    continue
+                rms = float(np.sqrt(np.mean(pcm * pcm)))
+                zcr = float(np.mean(np.abs(np.diff(np.signbit(pcm).astype(np.int8)))))
+                rows.append((int(mid), int(pcm.size), rms, zcr))
+            yield pd.DataFrame(rows, columns=["media_id", "n_samples", "rms", "zero_crossing_rate"])
+
+    return media.filter(F.col("kind") == "audio").select("media_id", "payload").mapInPandas(
+        gen, "media_id long, n_samples long, rms double, zero_crossing_rate double"
+    )
+
+
 def sample_video_frames(media: DataFrame, every_k: int = 2, decoder: str = "fake") -> DataFrame:
     """video rows -> one row per sampled frame (media_id, frame_idx,
     frame binary) — the 1->N explode shape of real frame sampling."""
@@ -127,11 +152,14 @@ def sample_video_frames(media: DataFrame, every_k: int = 2, decoder: str = "fake
     )
 
 
-def synth_media(spark, n_images: int = 20, n_videos: int = 5) -> DataFrame:
+def synth_media(spark, n_images: int = 20, n_videos: int = 5, n_audio: int = 5) -> DataFrame:
     rows = []
     for i in range(n_images):
         rows.append((i, "image", fake_payload("image", i), (32, 24, 0, 0)))
     for i in range(n_videos):
         mid = 1000 + i
         rows.append((mid, "video", fake_payload("video", mid), (0, 0, 0, 8)))
+    for i in range(n_audio):
+        mid = 2000 + i
+        rows.append((mid, "audio", fake_payload("audio", mid), (0, 0, 16000, 0)))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)

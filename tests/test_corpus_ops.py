@@ -263,3 +263,21 @@ class TestSessionize:
         }
         # user 3's session stays open (nothing advances the watermark past it)
         assert got == {(1, 3, 6.0), (1, 2, 9.0), (2, 2, 30.0)}
+
+
+class TestAudioFeatures:
+    def test_audio_features_deterministic(self, spark):
+        media = multimodal.synth_media(spark, n_images=2, n_videos=1, n_audio=4)
+        feats = multimodal.extract_audio_features(media).orderBy("media_id").collect()
+        assert [r["media_id"] for r in feats] == [2000, 2001, 2002, 2003]
+        assert all(r["n_samples"] == 2048 for r in feats)  # 4 KiB PCM16 body
+        assert all(r["rms"] > 0 for r in feats)
+        again = multimodal.extract_audio_features(media).orderBy("media_id").collect()
+        assert [tuple(r) for r in feats] == [tuple(r) for r in again]
+
+    def test_stub_decoder_raises(self, spark):
+        import pytest as _pytest
+
+        media = multimodal.synth_media(spark, n_images=0, n_videos=0, n_audio=1)
+        with _pytest.raises(Exception, match="NotImplementedError|real media codecs"):
+            multimodal.extract_audio_features(media, decoder="stub").collect()
