@@ -5,7 +5,7 @@
   triples) over pages derived from /root/testdata/sf0.001.
 - ``queries()``: one callable per implemented operator family
   (SURVEY.md §2 + the corpus ops), each (spark, sf_dir) -> DataFrame.
-  31 queries: 23 oracle-backed, 8 rows-only.
+  32 queries: 23 oracle-backed, 9 rows-only.
 - ``oracle_sql()``: DuckDB-equivalent SQL per query where the semantics are
   ANSI-SQL-expressible. UDF-backed / driver-graph / iterative ops (kg_*,
   minhash/simhash, LSH ANN, label-propagation components, multimodal,
@@ -465,6 +465,14 @@ def _q_kg_lineage(spark, sf_dir):
         )
 
 
+def _q_media_audio_features(spark, sf_dir):
+    media = multimodal.synth_media(spark, n_images=4, n_videos=2, n_audio=12)
+    feats = multimodal.extract_audio_features(media)
+    return feats.select(
+        "media_id", "n_samples", F.round("rms", 4).alias("rms"), F.round("zero_crossing_rate", 6).alias("zcr")
+    ).orderBy("media_id")
+
+
 def _q_streaming_hourly(spark, sf_dir):
     import tempfile
 
@@ -522,6 +530,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": _q_simhash_pairs,
         "lsh_ann_topk": _q_lsh_ann_topk,
         "media_features": _q_media_features,
+        "media_audio_features": _q_media_audio_features,
         "streaming_hourly": _q_streaming_hourly,
         "dedup_components": _q_dedup_components,
         "kg_lineage": _q_kg_lineage,
