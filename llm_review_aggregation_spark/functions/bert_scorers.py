@@ -66,9 +66,26 @@ def _load(kind: str, weights_path: str, out_dim: int):  # pragma: no cover
     in_dim = 1536 if kind == "relation" else 768
     head = torch.nn.Linear(in_dim, out_dim)
     state = torch.load(weights_path, map_location="cpu")
-    # accept either a full state dict {bert.*, head.*} or just the head
-    head_state = {k.split("head.", 1)[1]: v for k, v in state.items() if k.startswith("head.")}
-    bert_state = {k.split("bert.", 1)[1]: v for k, v in state.items() if k.startswith("bert.")}
+    # Accept this engine's {bert.*, head.*} layout AND the reference's
+    # net.state_dict() attribute names {bert_base.*, fc.*}
+    # (entity_bert_net.py:15-16, tdbertnet.py, bert_analyzer.py:85).
+    def _strip(prefixes: tuple[str, ...]) -> dict:
+        out = {}
+        for k, v in state.items():
+            for p in prefixes:
+                if k.startswith(p):
+                    out[k[len(p):]] = v
+                    break
+        return out
+
+    head_state = _strip(("head.", "fc."))
+    bert_state = _strip(("bert.", "bert_base."))
+    if not head_state and not bert_state:
+        raise ValueError(
+            f"checkpoint {weights_path!r} matched no known parameter prefixes "
+            "(expected bert./head. or the reference's bert_base./fc.); refusing "
+            "to score with randomly initialized weights"
+        )
     if bert_state:
         bert.load_state_dict(bert_state, strict=False)
     if head_state:
@@ -204,10 +221,14 @@ class BertSentimentScorer:
                     pooled, _ = span.max(dim=0)  # max-pool over target span (tdbertnet.py:10-30)
                     scores.append(head(pooled))
                 probs = torch.softmax(torch.stack(scores), dim=-1)
-                # classes: (neutral, positive, negative, conflict) — reference order
+                # classes: (positive, negative, neutral, conflict) — the
+                # reference's polarity_indices (bert_dataset.py:9); get_polarity
+                # maps pred==0 -> +p(pos), pred==1 -> -p(neg), else 0
+                # (bert_analyzer.py:181-190).
                 pred = probs.argmax(dim=-1)
+                zeros = torch.zeros_like(probs[:, 0])
                 val = torch.where(
-                    pred == 1, probs[:, 1], torch.where(pred == 2, -probs[:, 2], torch.zeros(len(probs)))
+                    pred == 0, probs[:, 0], torch.where(pred == 1, -probs[:, 1], zeros)
                 )
             out.extend(val.cpu().tolist())
         return pd.Series(out, index=pdf.index, dtype="float64")

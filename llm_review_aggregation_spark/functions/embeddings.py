@@ -141,15 +141,23 @@ def sparse_cosine_pairs(weights: DataFrame, threshold: float, salt_mod: int | No
     """(term, bucket, w) -> (src, dst, cos) for unordered term pairs with
     cosine >= threshold. Classic sparse similarity join: pairs are generated
     only where terms share a bucket (one shuffle on bucket), so cost follows
-    co-occurrence structure instead of |dictionary|^2. `salt_mod` splits hot
-    buckets (head context words) into sub-buckets — bounded recall loss,
-    same trade as canonicalize.minhash_lsh_blocks."""
+    co-occurrence structure instead of |dictionary|^2.
+
+    `salt_mod=m` is the EXACT skew split for hot buckets (head context
+    words): the lhs keeps one salted copy per row (hash(src) % m) while the
+    rhs is replicated into all m sub-buckets, so every co-bucket pair is
+    still generated exactly once but a hot bucket's join work fans out over
+    m reducers instead of one. Replication cost is m× on the rhs only —
+    standard salted-join discipline, no recall loss (unlike band-LSH, a
+    pair here has no second chance to collide)."""
     norms = weights.groupBy("term").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("norm"))
     lhs = weights.select("bucket", F.col("term").alias("src"), F.col("w").alias("w1"))
     rhs = weights.select("bucket", F.col("term").alias("dst"), F.col("w").alias("w2"))
     if salt_mod:
         lhs = lhs.withColumn("_s", F.pmod(F.hash("src"), F.lit(salt_mod)))
-        rhs = rhs.withColumn("_s", F.pmod(F.hash("dst"), F.lit(salt_mod)))
+        rhs = rhs.withColumn(
+            "_s", F.explode(F.sequence(F.lit(0), F.lit(salt_mod - 1)))
+        )
         join_keys = ["bucket", "_s"]
     else:
         join_keys = ["bucket"]

@@ -91,6 +91,89 @@ def jaccard_pairs(df: DataFrame, text_col: str, id_col: str, k: int = 3, thresho
     )
 
 
+def jaccard_pairs_bitset(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    group_col: str | None = None,
+    threshold: float = 0.5,
+    max_vocab: int = 4096,
+) -> DataFrame:
+    """Exact token-set Jaccard pairs via packed bitsets — the fast path for
+    bounded-vocabulary corpora (templated logs, token-id streams, controlled
+    schemas), where token-rarity blocking cannot prune (every token is
+    frequent).
+
+    Each document's distinct token set becomes ceil(|V|/64) longs; the pair
+    predicate is sum(bit_count(a&b)) / sum(bit_count(a|b)) — whole-stage
+    codegen, ~2 longs of state per doc instead of a string array, and the
+    only shuffle is the (group-keyed) self-join. Exact: identical output to
+    the array_intersect formulation, so the same SQL oracle applies.
+
+    One tiny driver action discovers the vocabulary (sorted, broadcast as an
+    array literal); raises if |V| > max_vocab — open-vocabulary webtext must
+    use `jaccard_pairs` with LSH/prefix blocking instead, where Zipfian
+    rarity makes blocking effective.
+    """
+    toks_expr = F.array_distinct(textstats.tokens_col(F.col(text_col)))
+    vocab = sorted(
+        r["t"]
+        for r in df.select(F.explode(toks_expr).alias("t")).distinct().collect()
+    )
+    if len(vocab) > max_vocab:
+        raise ValueError(
+            f"vocabulary {len(vocab)} exceeds max_vocab={max_vocab}; use "
+            "jaccard_pairs with blocking for open-vocabulary corpora"
+        )
+    nchunks = max(1, (len(vocab) + 63) // 64)
+    varr = F.array(*[F.lit(t) for t in vocab])
+    tids = F.transform(toks_expr, lambda t: F.array_position(varr, t) - 1)
+    # 1 << i as signed-long literals (shiftleft() takes only literal counts)
+    pow2 = F.array(*[F.lit((1 << i) if i < 63 else -(2**63)).cast("long") for i in range(64)])
+
+    def _chunk_mask(c: int):
+        return F.aggregate(
+            tids,
+            F.lit(0).cast("long"),
+            lambda acc, t: acc.bitwiseOR(
+                F.when(
+                    (t >= c * 64) & (t < (c + 1) * 64),
+                    F.element_at(pow2, (t % 64).cast("int") + 1),
+                ).otherwise(F.lit(0).cast("long"))
+            ),
+        )
+
+    cols = [F.col(id_col).alias("id")] + [_chunk_mask(c).alias(f"m{c}") for c in range(nchunks)]
+    gcols = [F.col(group_col).alias("g")] if group_col else []
+    packed = df.select(*gcols, *cols)
+
+    a = packed.select(
+        *([F.col("g")] if group_col else []),
+        F.col("id").alias("a"),
+        *[F.col(f"m{c}").alias(f"a{c}") for c in range(nchunks)],
+    )
+    b = packed.select(
+        *([F.col("g")] if group_col else []),
+        F.col("id").alias("b"),
+        *[F.col(f"m{c}").alias(f"b{c}") for c in range(nchunks)],
+    )
+    inter = sum(
+        (F.bit_count(F.col(f"a{c}").bitwiseAND(F.col(f"b{c}"))) for c in range(nchunks)),
+        F.lit(0),
+    )
+    union = sum(
+        (F.bit_count(F.col(f"a{c}").bitwiseOR(F.col(f"b{c}"))) for c in range(nchunks)),
+        F.lit(0),
+    )
+    joined = a.join(b, ["g"] if group_col else F.lit(True)).filter(F.col("a") < F.col("b"))
+    out = (
+        joined.withColumn("jaccard", inter / F.greatest(union, F.lit(1)))
+        .filter(F.col("jaccard") >= threshold)
+    )
+    keep = (["g"] if group_col else []) + ["a", "b", "jaccard"]
+    return out.select(*keep)
+
+
 def minhash_near_duplicates(
     df: DataFrame, text_col: str, id_col: str,
     num_hashes: int = 16, bands: int = 4, shingle_k: int = 3, threshold: float = 0.8,
@@ -155,10 +238,17 @@ def embedding_near_duplicates_exact(
 
 
 def embedding_near_duplicates(
-    df: DataFrame, vec_col: str, id_col: str, threshold: float = 0.95, planes: int = 12, probe_hamming: int = 1
+    df: DataFrame, vec_col: str, id_col: str, threshold: float = 0.95,
+    planes: int = 12, probe_hamming: int = 1, tables: int = 1,
 ) -> DataFrame:
-    """Random-hyperplane LSH buckets, verified by exact cosine."""
-    buckets = simsearch.hyperplane_buckets(df, vec_col, id_col, planes=planes, probe_hamming=probe_hamming)
+    """Random-hyperplane LSH buckets, verified by exact cosine. Candidates
+    are bucket-joined only (linear in bucket occupancy, never all-pairs);
+    recall < 1 by construction — cross-validate against
+    embedding_near_duplicates_exact at test scale. More `tables` buys
+    recall for index size."""
+    buckets = simsearch.hyperplane_buckets(
+        df, vec_col, id_col, planes=planes, probe_hamming=probe_hamming, tables=tables
+    )
     vecs = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
     a = buckets.select(F.col("bucket"), F.col("id").alias("a"))
     b = buckets.select(F.col("bucket"), F.col("id").alias("b"))

@@ -9,12 +9,14 @@
   hamming<=probe_hamming neighbors. Bucket assignment is one narrow map;
   the join shuffles on bucket keys only.
 
-Hyperplanes are seeded (numpy RandomState) so results are deterministic.
+Hyperplane coefficients are generated *inside* the column expression from a
+seeded hash of (table, plane, component-index), so bucketing needs neither
+the vector dimension up front nor any driver-side action — the whole plan
+is declared lazily and stays in whole-stage codegen.
 """
 
 from __future__ import annotations
 
-import numpy as np
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -53,27 +55,25 @@ def brute_force_topk(
     )
 
 
-def _hyperplanes(dim: int, planes: int, seed: int = 42) -> list[list[float]]:
-    rs = np.random.RandomState(seed)
-    return rs.randn(planes, dim).tolist()
+def _plane_coef(plane_key: int, j):
+    """Deterministic pseudo-random coefficient in [-1, 1] for component j of
+    hyperplane `plane_key` — murmur3 of (key, j) scaled. Declared as a column
+    expression, so no dimension needs to be known at plan time."""
+    return (F.pmod(F.hash(F.lit(plane_key), j), F.lit(2_000_001)) / F.lit(1_000_000.0)) - F.lit(1.0)
 
 
-def _bucket_expr(vec_col: str, hps: list[list[float]]):
-    bits = [
-        F.when(
-            F.aggregate(
-                F.zip_with(F.col(vec_col), F.array(*[F.lit(float(v)) for v in hp]), lambda x, y: x * y),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-            >= 0,
-            F.lit(1),
-        ).otherwise(F.lit(0))
-        for hp in hps
-    ]
+def _bucket_expr(vec_col: str, planes: int, seed: int):
+    def _proj_lambda(plane_key: int):
+        return lambda x, j: x * _plane_coef(plane_key, j)
+
     bucket = F.lit(0)
-    for i, b in enumerate(bits):
-        bucket = bucket + (b * F.lit(2**i))
+    for p in range(planes):
+        proj = F.aggregate(
+            F.transform(F.col(vec_col), _proj_lambda(seed * 7919 + p)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bucket = bucket + F.when(proj >= 0, F.lit(2**p)).otherwise(F.lit(0))
     return bucket
 
 
@@ -83,7 +83,6 @@ def hyperplane_buckets(
     id_col: str,
     planes: int = 12,
     probe_hamming: int = 0,
-    dim: int | None = None,
     seed: int = 42,
     tables: int = 1,
 ) -> DataFrame:
@@ -93,12 +92,9 @@ def hyperplane_buckets(
     probe_hamming=h > 0, each row is additionally replicated into every
     bucket within hamming distance h of its own (multi-probe on the *index*
     side keeps the query-side join plain)."""
-    if dim is None:
-        dim = len(df.select(vec_col).first()[0])
     per_table = []
     for t in range(tables):
-        hps = _hyperplanes(dim, planes, seed + 1000 * t)
-        per_table.append(_bucket_expr(vec_col, hps) + F.lit(t * 2**planes))
+        per_table.append(_bucket_expr(vec_col, planes, seed + 1000 * t) + F.lit(t * 2**planes))
     out = df.select(
         F.col(id_col).alias("id"), F.explode(F.array(*per_table)).alias("bucket0")
     )
@@ -125,10 +121,10 @@ def lsh_topk(
     seed: int = 42,
     tables: int = 4,
 ) -> DataFrame:
-    """Approximate top-k: bucket-joined candidates, exact cosine re-rank."""
-    dim = len(corpus.select(vec_col).first()[0])
-    cb = hyperplane_buckets(corpus, vec_col, id_col, planes, probe_hamming, dim, seed, tables)
-    qb = hyperplane_buckets(queries, vec_col, q_id_col, planes, 0, dim, seed, tables).withColumnRenamed(
+    """Approximate top-k: bucket-joined candidates, exact cosine re-rank.
+    Fully lazy — no driver-side action before the plan executes."""
+    cb = hyperplane_buckets(corpus, vec_col, id_col, planes, probe_hamming, seed, tables)
+    qb = hyperplane_buckets(queries, vec_col, q_id_col, planes, 0, seed, tables).withColumnRenamed(
         "id", "q_id"
     )
     c = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("cvec"))

@@ -119,7 +119,11 @@ def sessionize(
                 start = end = us
                 n, vsum = 0, 0.0
             else:
-                end = us
+                # late-but-in-watermark events from a later micro-batch may
+                # arrive with us < end (rows are only sorted within a batch);
+                # a session's bounds must never move backward
+                end = max(end, us)
+                start = min(start, us)
             n += 1
             vsum += float(value)
         state.update((start, end, n, vsum))

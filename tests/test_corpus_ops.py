@@ -103,6 +103,75 @@ class TestDedup:
         assert (1, 2) in pairs and (1, 3) not in pairs
 
 
+class TestJaccardBitset:
+    def test_matches_array_formulation(self, documents):
+        """Differential: the packed-bitset kernel must emit exactly the
+        pairs the array_intersect formulation emits (same jaccard values)."""
+        sh = documents.select(
+            "doc_id", "source", F.array_distinct(textstats.tokens_col(F.col("text"))).alias("toks")
+        )
+        a = sh.select("source", F.col("doc_id").alias("a"), F.col("toks").alias("ta"))
+        b = sh.select("source", F.col("doc_id").alias("b"), F.col("toks").alias("tb"))
+        ref = (
+            a.join(b, "source")
+            .filter(F.col("a") < F.col("b"))
+            .withColumn(
+                "j",
+                F.size(F.array_intersect("ta", "tb"))
+                / F.greatest(F.size(F.array_union("ta", "tb")), F.lit(1)),
+            )
+            .filter(F.col("j") >= 0.5)
+        )
+        expected = {(r["source"], r["a"], r["b"], round(r["j"], 6)) for r in ref.collect()}
+        got = {
+            (r["g"], r["a"], r["b"], round(r["jaccard"], 6))
+            for r in dedup.jaccard_pairs_bitset(
+                documents, "text", "doc_id", group_col="source", threshold=0.5
+            ).collect()
+        }
+        assert got == expected and len(got) > 0
+
+    def test_vocab_cap_raises(self, spark):
+        df = spark.createDataFrame(
+            [(i, f"tok{i} tok{i+1} tok{i+2}") for i in range(40)], "id long, text string"
+        )
+        with pytest.raises(ValueError, match="max_vocab"):
+            dedup.jaccard_pairs_bitset(df, "text", "id", threshold=0.5, max_vocab=10)
+
+    def test_ungrouped_multichunk(self, spark):
+        # >64 distinct tokens forces multiple mask chunks
+        docs = [
+            (1, " ".join(f"w{i}" for i in range(70))),
+            (2, " ".join(f"w{i}" for i in range(5, 70))),  # high overlap with 1
+            (3, " ".join(f"x{i}" for i in range(30))),
+        ]
+        df = spark.createDataFrame(docs, "id long, text string")
+        out = {(r["a"], r["b"]): r["jaccard"] for r in dedup.jaccard_pairs_bitset(
+            df, "text", "id", threshold=0.5
+        ).collect()}
+        assert set(out) == {(1, 2)}
+        assert abs(out[(1, 2)] - 65 / 70) < 1e-9
+
+
+class TestCosineNearDupLsh:
+    def test_lsh_subset_of_exact(self, embeddings):
+        """The LSH near-dup contract query must be a verified subset of the
+        exact all-pairs baseline (candidates can be missed, never wrong)."""
+        emb = embeddings.withColumn("embedding", F.transform("embedding", lambda x: x.cast("double")))
+        exact = {
+            (r["a"], r["b"])
+            for r in dedup.embedding_near_duplicates_exact(emb, "embedding", "vec_id", threshold=0.35).collect()
+        }
+        lsh = {
+            (r["a"], r["b"])
+            for r in dedup.embedding_near_duplicates(
+                emb, "embedding", "vec_id", threshold=0.35, planes=10, probe_hamming=1, tables=8
+            ).collect()
+        }
+        assert lsh <= exact
+        assert len(lsh) >= 0.5 * len(exact), (len(lsh), len(exact))
+
+
 class TestSimSearch:
     def test_brute_force_topk_self_nearest(self, embeddings):
         queries = embeddings.limit(3).select(F.col("vec_id").alias("q_id"), F.col("embedding"))
