@@ -52,9 +52,16 @@ class PipelineConfig:
     max_driver_cluster_terms: int = 512
 
     # scorer backend: "lexicon" (deterministic test scorer), "hash",
-    # or "bert" (requires torch/transformers; gated import)
+    # "bert" (requires torch/transformers; gated import), or "llm"
+    # (prompted extraction, M7; FakeLLMClient by default, HFLLMClient via
+    # scorer_params["llm_client"])
     scorer: str = "lexicon"
     scorer_params: dict = field(default_factory=dict)
+
+    # checkpoint table format: "parquet" (works everywhere) or "iceberg"
+    # (uses df.writeTo(...).using("iceberg") when a catalog is configured;
+    # falls back to parquet with a warning when none is — SURVEY §1.4)
+    table_format: str = "parquet"
 
 
 DEFAULT_CONFIG = PipelineConfig()

@@ -136,8 +136,12 @@ def build_phrase_vocab(
 
 
 def make_noun_terms_udf(pairs: set[tuple[str, str]]):
+    backend = tp.current_backend()
+
     @pandas_udf(ArrayType(StringType()))
     def noun_terms_udf(tokens: pd.Series) -> pd.Series:
+        tp.install_backend(backend)
+
         def go(ts):
             ts = list(ts)
             merged = tp.apply_phrases(ts, pairs)
@@ -178,8 +182,10 @@ def mine_entity_instances(sentences: DataFrame, entities: list[str]) -> DataFram
     match priority follows it, as in the reference (helpers.py:138-149).
     """
     ent_tokens = [(e, tuple(e.split(" "))) for e in entities]
+    backend = tp.current_backend()
 
     def gen(batches):
+        tp.install_backend(backend)
         for pdf in batches:
             rows = []
             for url, gid, sid, toks in zip(pdf["url"], pdf["group_id"], pdf["sent_id"], pdf["tokens"]):
@@ -206,8 +212,10 @@ _REL_SCHEMA = (
 
 def mine_relation_instances(sentences: DataFrame, concepts: list[str], syn_dict: dict[str, list[str]]) -> DataFrame:
     syn_tokens = {c: [tuple(s.split(" ")) for s in syns] for c, syns in syn_dict.items()}
+    backend = tp.current_backend()
 
     def gen(batches):
+        tp.install_backend(backend)
         for pdf in batches:
             rows = []
             for url, gid, sid, toks in zip(pdf["url"], pdf["group_id"], pdf["sent_id"], pdf["tokens"]):

@@ -219,4 +219,10 @@ def make_scorers(kind: str, params: dict):
             bs.BertRelationScorer(params["relation_weights"], params.get("batch_size", 16)),
             bs.BertSentimentScorer(params["sentiment_weights"], params.get("batch_size", 32)),
         )
+    if kind == "llm":
+        # M7: prompted extraction (batch -> generate -> regex-parse), the
+        # reference's BERT_OR_LLM=LLM path (run.sh:36-39)
+        from llm_review_aggregation_spark.functions import llm_scorers
+
+        return llm_scorers.make_llm_scorers(params)
     raise ValueError(f"unknown scorer kind: {kind}")

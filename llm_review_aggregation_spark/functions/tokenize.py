@@ -32,8 +32,10 @@ def word_tokenize_udf(sentence: pd.Series) -> pd.Series:
 
 def segment_sentences(docs: DataFrame) -> DataFrame:
     """docs(url, group_id, text) -> sentences(url, group_id, sent_id, sentence, tokens)."""
+    backend = tp.current_backend()  # captured on the driver, shipped in the closure
 
     def gen(batches):
+        tp.install_backend(backend)
         for pdf in batches:
             rows = []
             for url, gid, text in zip(pdf["url"], pdf["group_id"], pdf["text"]):
@@ -53,8 +55,10 @@ def segment_phrases(sentences: DataFrame, max_words: float) -> DataFrame:
     scan instead of two — and splits on the same conjunction regex.
     `phrase_id` is globally unique; `phrase_ord` pins within-review order.
     """
+    backend = tp.current_backend()
 
     def gen(batches):
+        tp.install_backend(backend)
         for pdf in batches:
             rows = []
             for url, gid, sid, sentence in zip(

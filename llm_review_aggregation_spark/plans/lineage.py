@@ -6,16 +6,24 @@ Generalizes the reference's run metadata (`aspect_extractions.status` /
 (stage, partition_id, output_rows, checkpoint_ts, status); a re-run skips
 stages whose lineage is complete — resume-from-checkpoint mid-pipeline.
 
-Parquet is the table format here; on a cluster with an Iceberg catalog the
-same code path writes `df.writeTo(...)` tables (format chosen by
-`table_format`), which is why writes go through this single chokepoint.
+All table writes and reads go through one chokepoint pair (`_write_table` /
+`_read_table`) selected by `table_format`:
+
+- "parquet" (default): plain directories under work_dir — works everywhere.
+- "iceberg": `df.writeTo(<catalog_table>).using("iceberg")` v2 writes into
+  a namespace derived from work_dir, giving snapshot isolation + time
+  travel on a cluster with an Iceberg catalog (SURVEY §1.4). When no
+  catalog is configured (this sandbox), the store falls back to parquet at
+  construction time with a warning, so pipelines are portable unchanged.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import re
 import time
+import warnings
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -26,10 +34,59 @@ LINEAGE_SCHEMA = (
 
 
 class StageStore:
-    def __init__(self, spark: SparkSession, work_dir: str):
+    def __init__(
+        self,
+        spark: SparkSession,
+        work_dir: str,
+        table_format: str = "parquet",
+        catalog: str = "spark_catalog",
+    ):
         self.spark = spark
         self.work_dir = work_dir
+        self.catalog = catalog
         os.makedirs(work_dir, exist_ok=True)
+        if table_format == "iceberg" and not self._iceberg_usable():
+            warnings.warn(
+                "table_format='iceberg' requested but no Iceberg catalog is "
+                "configured on this session; falling back to parquet",
+                stacklevel=2,
+            )
+            table_format = "parquet"
+        self.table_format = table_format
+
+    # -- iceberg -------------------------------------------------------------
+    def _namespace(self) -> str:
+        # one namespace per work_dir so concurrent runs don't collide
+        return "kg_" + re.sub(r"[^A-Za-z0-9_]", "_", self.work_dir).strip("_")
+
+    def _table_ident(self, stage: str) -> str:
+        return f"{self.catalog}.{self._namespace()}.{stage}"
+
+    def _iceberg_usable(self) -> bool:
+        """True iff the session's catalog accepts Iceberg v2 writes (an
+        Iceberg SparkCatalog / SparkSessionCatalog is configured)."""
+        impl = self.spark.conf.get(f"spark.sql.catalog.{self.catalog}", None)
+        if not impl or "iceberg" not in impl.lower():
+            return False
+        try:
+            self.spark.sql(f"CREATE NAMESPACE IF NOT EXISTS {self.catalog}.{self._namespace()}")
+            return True
+        except Exception:
+            return False
+
+    # -- format chokepoints ---------------------------------------------------
+    def _write_table(self, df: DataFrame, stage: str, kind: str = "table") -> None:
+        if self.table_format == "iceberg":
+            df.writeTo(self._table_ident(f"{kind}_{stage}")).using("iceberg").createOrReplace()
+        else:
+            path = self._table_path(stage) if kind == "table" else self._lineage_path(stage)
+            df.write.mode("overwrite").parquet(path)
+
+    def _read_table(self, stage: str, kind: str = "table") -> DataFrame:
+        if self.table_format == "iceberg":
+            return self.spark.table(self._table_ident(f"{kind}_{stage}"))
+        path = self._table_path(stage) if kind == "table" else self._lineage_path(stage)
+        return self.spark.read.parquet(path)
 
     # -- paths ---------------------------------------------------------------
     def _table_path(self, stage: str) -> str:
@@ -43,9 +100,8 @@ class StageStore:
 
     # -- status ---------------------------------------------------------------
     def is_complete(self, stage: str) -> bool:
-        lp = self._lineage_path(stage)
         try:
-            rows = self.spark.read.parquet(lp).filter(F.col("status") == "complete").count()
+            rows = self._read_table(stage, kind="lineage").filter(F.col("status") == "complete").count()
             return rows > 0
         except Exception:
             return False
@@ -63,16 +119,15 @@ class StageStore:
             counts = self.spark.createDataFrame(
                 [(stage, -1, 0, time.time(), "complete")], LINEAGE_SCHEMA
             )
-        counts.write.mode("overwrite").parquet(self._lineage_path(stage))
+        self._write_table(counts, stage, kind="lineage")
 
     # -- DataFrame stages ------------------------------------------------------
     def run_table(self, stage: str, fn, resume: bool = True) -> DataFrame:
-        path = self._table_path(stage)
         if resume and self.is_complete(stage):
-            return self.spark.read.parquet(path)
+            return self._read_table(stage)
         df = fn()
-        df.write.mode("overwrite").parquet(path)
-        on_disk = self.spark.read.parquet(path)
+        self._write_table(df, stage)
+        on_disk = self._read_table(stage)
         self._write_lineage(stage, on_disk)
         return on_disk
 
@@ -91,6 +146,20 @@ class StageStore:
         return value
 
     def lineage(self) -> DataFrame:
+        if self.table_format == "iceberg":
+            ns = f"{self.catalog}.{self._namespace()}"
+            names = [
+                r["tableName"]
+                for r in self.spark.sql(f"SHOW TABLES IN {ns}").collect()
+                if r["tableName"].startswith("lineage_")
+            ]
+            out = None
+            for n in names:
+                t = self.spark.table(f"{ns}.{n}")
+                out = t if out is None else out.unionByName(t)
+            if out is not None:
+                return out
+            return self.spark.createDataFrame([], LINEAGE_SCHEMA)
         return self.spark.read.parquet(os.path.join(self.work_dir, "_lineage", "*"))
 
 

@@ -51,7 +51,11 @@ def run_pipeline(
     work_dir: str | None = None,
     resume: bool = True,
 ) -> PipelineResult:
-    store = StageStore(spark, work_dir) if work_dir else EphemeralStore(spark)
+    store = (
+        StageStore(spark, work_dir, table_format=cfg.table_format)
+        if work_dir
+        else EphemeralStore(spark)
+    )
     entity_scorer, relation_scorer, sentiment_scorer = scoring.make_scorers(cfg.scorer, cfg.scorer_params)
 
     # E1/E2 ---------------------------------------------------------------

@@ -29,6 +29,8 @@ from __future__ import annotations
 
 import re
 import unicodedata
+from collections.abc import Callable
+from dataclasses import dataclass
 from html.parser import HTMLParser
 
 # --------------------------------------------------------------------------
@@ -103,7 +105,7 @@ _SENT_SPLIT_RE = re.compile(r"(?<=[.!?])\s+")
 _WORD_RE = re.compile(r"[a-zA-Z0-9]+(?:'[a-zA-Z]+)?|[^\w\s]")
 
 
-def sent_tokenize(text: str) -> list[str]:
+def _sent_tokenize_simple(text: str) -> list[str]:
     """Sentence split on terminal punctuation + per-line split (the reference
     runs punkt then str.splitlines: phrase_tokenizer.py:22-24)."""
     out: list[str] = []
@@ -119,8 +121,104 @@ def filter_underscore(text: str) -> str:
     return text.replace("_", " ").lower()
 
 
-def word_tokenize(text: str) -> list[str]:
+def _word_tokenize_simple(text: str) -> list[str]:
     return _WORD_RE.findall(text)
+
+
+# --------------------------------------------------------------------------
+# Pluggable tokenizer backend (NLTK parity seam)
+#
+# The reference tokenizes with NLTK punkt / treebank / pos_tag
+# (phrase_tokenizer.py:17-27, helpers.py:160-202); this engine ships
+# hermetic from-scratch equivalents as the default so CI has no model-data
+# deps, and exposes a seam to drop NLTK (or anything else) in where it is
+# installed. Swapping is closure-safe for Spark: the UDF factories in
+# functions/tokenize.py and functions/mining.py capture current_backend()
+# at plan-build time on the driver and re-install it inside the Python
+# worker, so a driver-side set_tokenizer_backend() call reaches executors
+# (a bare module global would not survive the worker's re-import).
+# --------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class TokenizerBackend:
+    name: str
+    sent_tokenize: Callable[[str], list[str]]
+    word_tokenize: Callable[[str], list[str]]
+    pos_tag: Callable[[list[str]], list[str]]  # -> one Penn-style tag per token
+
+
+def _simple_backend() -> "TokenizerBackend":
+    return TokenizerBackend(
+        "simple", _sent_tokenize_simple, _word_tokenize_simple, lambda toks: pos_tag_simple(toks)
+    )
+
+
+def nltk_backend() -> "TokenizerBackend":
+    """NLTK punkt + treebank + pos_tag, matching the reference's stack.
+    Raises NotImplementedError when nltk (or its model data) is absent —
+    CI keeps the hermetic default."""
+    try:
+        from nltk import pos_tag as _nltk_pos_tag
+        from nltk.tokenize import sent_tokenize as _nltk_sent
+        from nltk.tokenize import word_tokenize as _nltk_word
+
+        _nltk_word("probe sentence")  # force punkt/treebank data load
+        _nltk_pos_tag(["probe"])
+    except Exception as exc:  # pragma: no cover - nltk absent in sandbox
+        raise NotImplementedError(
+            "nltk backend needs `pip install nltk` plus punkt/averaged_perceptron "
+            "data on driver and executors; using the built-in tokenizers instead"
+        ) from exc
+    return TokenizerBackend(  # pragma: no cover
+        "nltk",
+        _nltk_sent,
+        _nltk_word,
+        lambda toks: [t for _, t in _nltk_pos_tag(list(toks))],
+    )
+
+
+_BACKEND: TokenizerBackend | None = None
+
+
+def current_backend() -> TokenizerBackend:
+    global _BACKEND
+    if _BACKEND is None:
+        _BACKEND = _simple_backend()
+    return _BACKEND
+
+
+def install_backend(backend: TokenizerBackend | None) -> None:
+    """Set the process-wide tokenizer backend (None -> hermetic default).
+    Called by UDF generators on executors with the driver-captured backend."""
+    global _BACKEND
+    _BACKEND = backend
+
+
+def set_tokenizer_backend(name_or_backend) -> TokenizerBackend:
+    """Driver-side selection: "simple", "nltk", or a TokenizerBackend."""
+    if isinstance(name_or_backend, TokenizerBackend):
+        b = name_or_backend
+    elif name_or_backend in (None, "simple"):
+        b = _simple_backend()
+    elif name_or_backend == "nltk":
+        b = nltk_backend()
+    else:
+        raise ValueError(f"unknown tokenizer backend: {name_or_backend!r}")
+    install_backend(b)
+    return b
+
+
+def sent_tokenize(text: str) -> list[str]:
+    return current_backend().sent_tokenize(text)
+
+
+def word_tokenize(text: str) -> list[str]:
+    return current_backend().word_tokenize(text)
+
+
+def pos_tag(tokens: list[str]) -> list[str]:
+    return current_backend().pos_tag(tokens)
 
 
 # --------------------------------------------------------------------------
@@ -265,7 +363,7 @@ _NN_JJ_RE = re.compile(r"NN|JJ")
 def pos_filtered_ngrams(tokens: list[str], merged: list[str]) -> list[str]:
     """T4 (ontology_bert/helpers.py:160-202): split a multi-word gram back
     into words unless every word tags NN/JJ; single words pass through."""
-    tags = pos_tag_simple(tokens)
+    tags = pos_tag(tokens)
     out: list[str] = []
     n = 0
     for term in merged:
@@ -286,7 +384,7 @@ def noun_terms(tokens: list[str], ngrams: list[str]) -> list[str]:
     """T5 (ontology_bert/helpers.py:205-264): keep n-grams containing a noun
     whose words are all valid (non-IN, alphanumeric); single words must be
     nouns, non-stopword, len > 1."""
-    tags = pos_tag_simple(tokens)
+    tags = pos_tag(tokens)
 
     def is_noun(i: int) -> bool:
         w = tokens[i]
@@ -350,7 +448,7 @@ def mine_entity_instance(
         return None
     (s, e), ent = mention
     joined = tokens[:s] + [" ".join(tokens[s:e])] + tokens[e:]
-    if not pos_tag_simple(joined)[s].startswith("NN"):
+    if not pos_tag(joined)[s].startswith("NN"):
         return None
     masked = tokens[:s] + ["[MASK]"] + tokens[e:]
     return masked, s, ent
@@ -388,7 +486,7 @@ def mine_relation_instance(
     kept: list[tuple[tuple[int, int], int]] = []
     for (s, e), ci in ms:
         joined = tokens[:s] + [" ".join(tokens[s:e])] + tokens[e:]
-        if pos_tag_simple(joined)[s].startswith("NN"):
+        if pos_tag(joined)[s].startswith("NN"):
             kept.append(((s, e), ci))
     if len(kept) != 2 or kept[0][1] == kept[1][1]:
         return None

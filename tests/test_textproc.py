@@ -5,6 +5,8 @@ The clean-text cases mirror the reference's behavioral contract
 drop special characters, ASCII-fold, lowercase.
 """
 
+import pytest
+
 from llm_review_aggregation_spark import textproc as tp
 
 
@@ -163,3 +165,67 @@ class TestGlossary:
     def test_well_formatted(self):
         assert tp.is_well_formatted("ok phrase (fine)!")
         assert not tp.is_well_formatted("bad * char")
+
+
+class TestTokenizerBackendSeam:
+    """The NLTK parity seam (VERDICT #7): a swapped backend must reach the
+    Spark executors through the UDF closures, and the engine/oracle pair
+    must stay differential-equal when BOTH use the swapped backend."""
+
+    @pytest.fixture
+    def shouty_backend(self):
+        # distinguishable stand-in for NLTK: also splits sentences on ';'
+        import re as _re
+
+        def sent(t):
+            out = []
+            for seg in _re.split(r"(?<=[.!?;])\s+", t):
+                seg = seg.strip()
+                if seg:
+                    out.append(seg)
+            return out
+
+        return tp.TokenizerBackend("shouty", sent, tp._word_tokenize_simple,
+                                   lambda toks: tp.pos_tag_simple(toks))
+
+    def test_swap_reaches_executors(self, spark, shouty_backend):
+        from llm_review_aggregation_spark.functions import tokenize as tk
+
+        docs = spark.createDataFrame(
+            [("u1", "g1", "part one; part two. done.")], "url string, group_id string, text string"
+        )
+        try:
+            tp.set_tokenizer_backend(shouty_backend)
+            swapped = tk.segment_sentences(docs).collect()
+        finally:
+            tp.set_tokenizer_backend("simple")
+        default = tk.segment_sentences(docs).collect()
+        assert len(swapped) == 3  # ';' split happened inside the executor UDF
+        assert len(default) == 2
+
+    def test_differential_holds_under_swap(self, spark, shouty_backend):
+        from llm_review_aggregation_spark import synth
+        from llm_review_aggregation_spark.functions import tokenize as tk
+        from tests.oracle import pipeline_oracle as oracle
+
+        pages = synth.synthesize_pages(spark, n_groups=2, docs_per_group=6)
+        pages_pdf = synth.synthesize_pages_pdf(n_groups=2, docs_per_group=6)
+        try:
+            tp.set_tokenizer_backend(shouty_backend)
+            from llm_review_aggregation_spark.functions import cleaning
+
+            spark_sents = sorted(
+                (r["url"], r["sent_id"], r["sentence"], tuple(r["tokens"]))
+                for r in tk.segment_sentences(cleaning.extract_docs(pages)).collect()
+            )
+            oracle_sents = sorted(
+                (s["url"], s["sent_id"], s["sentence"], tuple(s["tokens"]))
+                for s in oracle.sentences_from_docs(oracle.docs_from_pages(pages_pdf))
+            )
+        finally:
+            tp.set_tokenizer_backend("simple")
+        assert spark_sents == oracle_sents
+
+    def test_nltk_backend_gated(self):
+        with pytest.raises((NotImplementedError,)):
+            tp.nltk_backend()
