@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
 import time
 
@@ -69,7 +70,46 @@ def _flagship_secs(spark, sf_dir: str, replicate: int = 1) -> tuple[float, int, 
     return time.monotonic() - t0, n_docs, n_triples
 
 
+def _leg_main() -> None:
+    """Single scaling leg in its own process (invoked by main()).
+
+    Process isolation per leg (a) removes warm-JVM carryover between legs
+    and (b) avoids a sequential-SparkContext race in one Python process
+    where late task-end accumulator updates hit the previous context's
+    already-closed PythonAccumulatorV2 server — the benign-but-noisy
+    "Broken pipe / EOF reached before Python server acknowledged"
+    DAGScheduler traces in BENCH_r01's tail."""
+    cpus = int(os.environ["SPARK_GRAFT_LEG_CPUS"])
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    replicate = int(os.environ.get("SPARK_GRAFT_SCALING_REPLICATE", "32"))
+    spark = get_spark(app_name=f"bench-leg-{cpus}", cpus=cpus, shuffle_partitions=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    _warmup(spark)
+    sec, n_docs, n_triples = _flagship_secs(spark, sf_dir, replicate=replicate)
+    spark.stop()
+    print(json.dumps({"leg": {"cpus": cpus, "sec": sec, "n_docs": n_docs, "n_triples": n_triples}}))
+
+
+def _run_leg(cpus: int) -> tuple[float, int, int]:
+    env = {**os.environ, "SPARK_GRAFT_LEG_CPUS": str(cpus)}
+    proc = subprocess.run(
+        [sys.executable, os.path.abspath(__file__)], env=env, capture_output=True, text=True
+    )
+    for line in reversed(proc.stdout.strip().splitlines()):
+        try:
+            leg = json.loads(line)["leg"]
+            return leg["sec"], leg["n_docs"], leg["n_triples"]
+        except (json.JSONDecodeError, KeyError):
+            continue
+    raise RuntimeError(
+        f"scaling leg (cpus={cpus}) produced no result; stderr tail: {proc.stderr[-2000:]}"
+    )
+
+
 def main() -> None:
+    if os.environ.get("SPARK_GRAFT_LEG_CPUS"):
+        _leg_main()
+        return
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     do_scaling = os.environ.get("SPARK_GRAFT_SCALING", "1") != "0"
@@ -129,11 +169,7 @@ def main() -> None:
         sc_docs = sc_triples = 0
         for _ in range(n_legs):
             for c in (n_big, n_small):
-                spark_c = get_spark(app_name=f"bench-scaling-{c}", cpus=c, shuffle_partitions=c)
-                spark_c.sparkContext.setLogLevel("ERROR")
-                _warmup(spark_c)
-                sec, sc_docs, sc_triples = _flagship_secs(spark_c, sf_dir, replicate=replicate)
-                spark_c.stop()
+                sec, sc_docs, sc_triples = _run_leg(c)
                 samples[c].append(sec)
 
         def _median(xs: list[float]) -> float:

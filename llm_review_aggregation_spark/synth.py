@@ -220,11 +220,16 @@ def pages_from_documents(spark, sf_dir: str, replicate: int = 1):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").withColumn(
         "text", F.regexp_replace("text", r"((?:\S+\s+){5}\S+)\s+", "$1.\n")
     )
+    # the per-sf parquet is a single small file -> 1-2 scan partitions; the
+    # downstream E1/E2 pandas UDFs inherit that and would run on 1-2 cores.
+    # One cheap shuffle of the small base spreads them across the executor
+    # slots (on a cluster the crawl table has real file-level parallelism
+    # and this is a no-op sizing choice).
+    docs = docs.repartition(spark.sparkContext.defaultParallelism * 2)
     if replicate > 1:
-        # repartition the small base BEFORE the broadcast cross join: the
-        # shuffle moves only the base rows; the Rx blow-up happens in place
-        # (broadcast nested-loop join keeps the stream side's partitioning)
-        docs = docs.repartition(spark.sparkContext.defaultParallelism * 2)
+        # the Rx blow-up happens in place after the repartition: the
+        # broadcast nested-loop join keeps the stream side's partitioning,
+        # so only base rows ever shuffle
         docs = docs.crossJoin(
             F.broadcast(spark.range(replicate).select(F.col("id").alias("_rep")))
         ).withColumn("source", F.concat(F.col("source"), F.lit("x"), F.col("_rep")))
