@@ -225,7 +225,12 @@ def pages_from_documents(spark, sf_dir: str, replicate: int = 1):
     # One cheap shuffle of the small base spreads them across the executor
     # slots (on a cluster the crawl table has real file-level parallelism
     # and this is a no-op sizing choice).
-    docs = docs.repartition(spark.sparkContext.defaultParallelism * 2)
+    # one slot-sized partition per core for the small base corpus (5k docs:
+    # fewer, larger Arrow batches beat task-count overhead); two per core
+    # when replicating, so the Rx blow-up keeps all slots fed under skew
+    docs = docs.repartition(
+        max(2, spark.sparkContext.defaultParallelism * (2 if replicate > 1 else 1))
+    )
     if replicate > 1:
         # the Rx blow-up happens in place after the repartition: the
         # broadcast nested-loop join keeps the stream side's partitioning,
