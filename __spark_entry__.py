@@ -5,7 +5,7 @@
   triples) over pages derived from /root/testdata/sf0.001.
 - ``queries()``: one callable per implemented operator family
   (SURVEY.md §2 + the corpus ops), each (spark, sf_dir) -> DataFrame.
-  33 queries: 26 oracle-backed, 7 rows-only.
+  34 queries: 26 oracle-backed, 8 rows-only.
 - ``oracle_sql()``: DuckDB-equivalent SQL per query where the semantics are
   ANSI-SQL-expressible — including minhash_pairs / dedup_components (the
   LSH blocking is verified by true Jaccard, so the exact pair set is the
@@ -479,6 +479,28 @@ def _q_kg_lineage(spark, sf_dir):
         )
 
 
+def _q_kg_judge_scores(spark, sf_dir):
+    """M8/A18: LLM-judge pass over the flagship ontology edges + per-run
+    average (deterministic FakeJudgeClient; sf0.001 pipeline like
+    kg_lineage, so the gate stays cheap). Rows-only: judge scores are
+    model output, not ANSI-SQL semantics."""
+    from llm_review_aggregation_spark.functions import judge
+
+    pages = synth.pages_from_documents(spark, "/root/testdata/sf0.001")
+    res = run_pipeline(spark, pages, _KG_CFG)
+    client = judge.FakeJudgeClient(
+        aspect_terms=frozenset(_WEBTEXT_PARAMS["aspect_terms"]),
+        meronyms=dict(_WEBTEXT_PARAMS["meronyms"]),
+    )
+    scored = judge.judge_ontology_edges(res.ontology_edges, client, "webtext")
+    avg = judge.average_relation_score(scored)
+    return (
+        scored.withColumn("run_avg_score", F.round(F.lit(avg), 4))
+        .orderBy("subj", "obj")
+        .localCheckpoint(eager=True)
+    )
+
+
 def _q_media_audio_features(spark, sf_dir):
     media = multimodal.synth_media(spark, n_images=4, n_videos=2, n_audio=12)
     feats = multimodal.extract_audio_features(media)
@@ -549,6 +571,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_hourly": _q_streaming_hourly,
         "dedup_components": _q_dedup_components,
         "kg_lineage": _q_kg_lineage,
+        "kg_judge_scores": _q_kg_judge_scores,
     }
 
 
