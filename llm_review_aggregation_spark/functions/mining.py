@@ -3,12 +3,15 @@ instances, glossary matches.
 
 Scale notes (the design constraints these functions satisfy):
 - Phrase-vocabulary discovery (T3) is a *corpus-global* aggregation: two
-  distributed groupBy passes (unigram+bigram counts; then the same over the
-  bigram-merged corpus). Catalyst gives partial (map-side) aggregation for
-  free, so skewed head tokens cost one combiner row per partition, not a
-  hot reducer. Only the *scored phrase table* (above-threshold pairs,
-  bounded by `max_phrase_vocab`) is collected and broadcast — never counts.
-- Mention mining (T7/T8/T9) joins every sentence against a dictionary.
+  fused merge+count passes (pass 2 applies the pass-1 phrase table inside
+  the counting kernel — the merged corpus is never materialized), each
+  pre-aggregated per Arrow batch then reduced by one distributed groupBy,
+  so skewed head tokens cost one combiner row per batch, not a hot
+  reducer. Only the *scored phrase table* (above-threshold pairs, bounded
+  by `max_phrase_vocab`) is collected and broadcast — never counts.
+- Mention mining (T7/T8/T9) joins every sentence against a dictionary,
+  fused with its scorer into one mapInPandas (mine_and_score_*) so the
+  instance table crosses the Arrow boundary once.
   The dictionary is <= top-k candidates (100) here, so it is a broadcast
   into the UDF closure — the degenerate-but-optimal case of the
   MinHash-LSH blocking + salted join the north star prescribes for large
@@ -36,35 +39,49 @@ from llm_review_aggregation_spark import textproc as tp
 # ---------------------------------------------------------------------------
 
 
-def _adjacent_pairs(tokens_col):
-    """array<string> -> array<struct<a,b>> of adjacent pairs, JVM-side."""
-    return F.when(
-        F.size(tokens_col) >= 2,
-        F.arrays_zip(
-            F.slice(tokens_col, 1, F.size(tokens_col) - 1).alias("a"),
-            F.slice(tokens_col, 2, F.size(tokens_col) - 1).alias("b"),
-        ),
-    ).otherwise(F.array())
-
-
-def _scored_pairs(tok_df: DataFrame, min_count: int, threshold: float, max_vocab: int) -> list[tuple[str, str]]:
+def _scored_pairs(
+    tok_df: DataFrame,
+    min_count: int,
+    threshold: float,
+    max_vocab: int,
+    merge_pairs: set[tuple[str, str]] | None = None,
+) -> list[tuple[str, str]]:
     """One gensim-Phrases pass over a DataFrame with a `tokens` column:
     returns adjacent pairs whose score
     (c_ab - min_count) * vocab_size / (c_a * c_b) > threshold.
 
     vocab_size counts distinct unigrams + distinct bigrams, matching the
     reference library's vocabulary bookkeeping.
+
+    `merge_pairs` (pass 2) applies the pass-1 phrase table to each token
+    list INSIDE the counting kernel, so the bigram-merged corpus is never
+    materialized or cached — phrase merge, unigram count and bigram count
+    are one fused Python pass, pre-aggregated per Arrow batch (bounded
+    vocabulary keeps the per-batch dict small), then reduced by one
+    distributed groupBy. Unigrams travel as (a, b=NULL) rows.
     """
-    # unigrams and bigrams counted in ONE scan + ONE shuffle: each sentence
-    # explodes to struct(a, b=null) per token plus struct(a, b) per adjacent
-    # pair, aggregated together and split on b's nullness afterwards
-    toks = F.col("tokens")
-    unis = F.transform(toks, lambda t: F.struct(t.alias("a"), F.lit(None).cast("string").alias("b")))
-    both = F.when(F.size(toks) >= 2, F.concat(unis, _adjacent_pairs(toks))).otherwise(unis)
+    mp = set(merge_pairs) if merge_pairs else None
+
+    def gen(batches):
+        for pdf in batches:
+            out: dict[tuple[str, str | None], int] = {}
+            for toks in pdf["tokens"]:
+                ts = tp.apply_phrases(list(toks), mp) if mp else list(toks)
+                for t in ts:
+                    k = (t, None)
+                    out[k] = out.get(k, 0) + 1
+                for a, b in zip(ts, ts[1:]):
+                    k2 = (a, b)
+                    out[k2] = out.get(k2, 0) + 1
+            yield pd.DataFrame(
+                [(a, b, c) for (a, b), c in out.items()], columns=["a", "b", "c"]
+            )
+
     counts = (
-        tok_df.select(F.explode(both).alias("it"))
-        .groupBy(F.col("it.a").alias("a"), F.col("it.b").alias("b"))
-        .agg(F.count(F.lit(1)).alias("c"))
+        tok_df.select("tokens")
+        .mapInPandas(gen, "a string, b string, c long")
+        .groupBy("a", "b")
+        .agg(F.sum("c").alias("c"))
         .cache()
     )
     uni = counts.filter(F.col("b").isNull()).select(F.col("a").alias("t"), F.col("c"))
@@ -99,14 +116,6 @@ def _scored_pairs(tok_df: DataFrame, min_count: int, threshold: float, max_vocab
     return pairs
 
 
-def make_apply_phrases_udf(pairs: set[tuple[str, str]]):
-    @pandas_udf(ArrayType(StringType()))
-    def apply_phrases_udf(tokens: pd.Series) -> pd.Series:
-        return tokens.map(lambda ts: tp.apply_phrases(list(ts), pairs))
-
-    return apply_phrases_udf
-
-
 def build_phrase_vocab(
     sentences: DataFrame,
     min_count: int = 1,
@@ -122,12 +131,9 @@ def build_phrase_vocab(
     """
     tok = sentences.select("tokens")
     pairs1 = set(_scored_pairs(tok, min_count, threshold, max_vocab))
-    # cache the bigram-merged corpus: pass 2 scans it twice (unigram and
-    # bigram aggregation) and the merge UDF is the expensive part
-    merged = tok.select(make_apply_phrases_udf(pairs1)(F.col("tokens")).alias("tokens")).cache()
-    pairs2 = set(_scored_pairs(merged, min_count, threshold, max_vocab))
-    merged.unpersist()
-    return pairs2
+    # pass 2 applies the pass-1 table inside the fused counting kernel —
+    # the merged corpus is never materialized (no cache, no extra scan)
+    return set(_scored_pairs(tok, min_count, threshold, max_vocab, merge_pairs=pairs1))
 
 
 # ---------------------------------------------------------------------------
@@ -200,6 +206,37 @@ def mine_entity_instances(sentences: DataFrame, entities: list[str]) -> DataFram
     return sentences.select("url", "group_id", "sent_id", "tokens").mapInPandas(gen, _ENTITY_SCHEMA)
 
 
+def mine_and_score_entities(sentences: DataFrame, entities: list[str], scorer) -> DataFrame:
+    """T7 + M1 fused into ONE mapInPandas: instances are mined and scored in
+    the same Python pass, so the instance table crosses the Arrow boundary
+    once (the unfused mine -> score chain pays a round trip per operator).
+    Same rows as score_entity_instances(mine_entity_instances(...))."""
+    import pandas as pd
+
+    from llm_review_aggregation_spark import textproc as _tp
+
+    ent_tokens = [(e, tuple(e.split(" "))) for e in entities]
+    backend = _tp.current_backend()
+    cols = ["url", "group_id", "sent_id", "masked_tokens", "entity_idx", "entity"]
+
+    def gen(batches):
+        _tp.install_backend(backend)
+        for pdf in batches:
+            rows = []
+            for url, gid, sid, toks in zip(pdf["url"], pdf["group_id"], pdf["sent_id"], pdf["tokens"]):
+                r = _tp.mine_entity_instance(list(toks), ent_tokens)
+                if r is not None:
+                    masked, idx, ent = r
+                    rows.append((url, gid, sid, masked, idx, ent))
+            idf = pd.DataFrame(rows, columns=cols)
+            idf["prob"] = scorer.score_entities(idf) if len(idf) else pd.Series(dtype="float64")
+            yield idf
+
+    return sentences.select("url", "group_id", "sent_id", "tokens").mapInPandas(
+        gen, _ENTITY_SCHEMA + ", prob double"
+    )
+
+
 # ---------------------------------------------------------------------------
 # T8: relation-instance mining
 # ---------------------------------------------------------------------------
@@ -238,6 +275,40 @@ def mine_relation_instances(sentences: DataFrame, concepts: list[str], syn_dict:
             )
 
     return sentences.select("url", "group_id", "sent_id", "tokens").mapInPandas(gen, _REL_SCHEMA)
+
+
+def mine_and_score_relations(
+    sentences: DataFrame, concepts: list[str], syn_dict: dict[str, list[str]], scorer
+) -> DataFrame:
+    """T8 + M2 fused into ONE mapInPandas (same rationale as
+    mine_and_score_entities): instances mined and direction-scored in one
+    Python pass. Same rows as score_relation_instances(mine_relation_instances(...))."""
+    syn_tokens = {c: [tuple(s.split(" ")) for s in syns] for c, syns in syn_dict.items()}
+    backend = tp.current_backend()
+    cols = ["url", "group_id", "sent_id", "masked_tokens", "fst_idx", "snd_idx", "fst_concept", "snd_concept"]
+
+    def gen(batches):
+        tp.install_backend(backend)
+        for pdf in batches:
+            rows = []
+            for url, gid, sid, toks in zip(pdf["url"], pdf["group_id"], pdf["sent_id"], pdf["tokens"]):
+                r = tp.mine_relation_instance(list(toks), concepts, syn_tokens)
+                if r is not None:
+                    masked, (i1, i2), (c1, c2) = r
+                    rows.append((url, gid, sid, masked, i1, i2, c1, c2))
+            idf = pd.DataFrame(rows, columns=cols)
+            if len(idf):
+                scores = scorer.score_relations(idf)
+                idf["forward_score"] = scores["forward_score"]
+                idf["backward_score"] = scores["backward_score"]
+            else:
+                idf["forward_score"] = pd.Series(dtype="float64")
+                idf["backward_score"] = pd.Series(dtype="float64")
+            yield idf
+
+    return sentences.select("url", "group_id", "sent_id", "tokens").mapInPandas(
+        gen, _REL_SCHEMA + ", forward_score double, backward_score double"
+    )
 
 
 # ---------------------------------------------------------------------------

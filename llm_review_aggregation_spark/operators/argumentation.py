@@ -39,7 +39,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from llm_review_aggregation_spark import textproc as tp
-from llm_review_aggregation_spark.functions import mining, scoring, tokenize
+from llm_review_aggregation_spark.functions import mining, scoring, tokenize  # noqa: F401 (unfused building blocks kept public)
 
 _OUT_SCHEMA = (
     "group_id string, aspect string, polarity boolean, strength double, "
@@ -193,6 +193,62 @@ def _make_per_group(root: str, nodes_post: list[str], children: dict[str, list[s
     return per_group
 
 
+_SCORED_SCHEMA = (
+    "group_id string, url string, phrase_id string, phrase_ord long, "
+    "phrase string, node string, start int, sentiment double"
+)
+
+
+def _fused_phrase_scores(
+    sentences: DataFrame,
+    nodes_post: list[str],
+    parents: dict[str, str | None],
+    glossary: dict[str, list[str]],
+    scorer,
+    max_words: float,
+) -> DataFrame:
+    """T6 + T9 + M3 in ONE mapInPandas: phrase split, glossary match and
+    sentiment scoring chained inside a single Python pass, so the phrase
+    table crosses the Arrow boundary once instead of three times (the
+    unfused segment_phrases -> match_glossary -> score_sentiment_instances
+    chain pays a serialize/deserialize round trip per operator). Identical
+    row semantics — the scorer still sees one pandas batch of matched
+    (phrase, form, start, end) rows."""
+    import pandas as pd
+
+    backend = tp.current_backend()
+    gloss_tokens = {n: [s.split(" ") for s in syns] for n, syns in glossary.items()}
+    cols = ["group_id", "url", "phrase_id", "phrase_ord", "phrase", "node", "form", "start", "end"]
+
+    def gen(batches):
+        tp.install_backend(backend)
+        for pdf in batches:
+            rows = []
+            for url, gid, sid, sentence in zip(
+                pdf["url"], pdf["group_id"], pdf["sent_id"], pdf["sentence"]
+            ):
+                for pos, phrase in enumerate(tp.split_phrases(sentence or "", max_words)):
+                    toks = tp.word_tokenize(phrase)
+                    for node, form, s, e in tp.match_glossary(
+                        toks, nodes_post, parents, gloss_tokens
+                    ):
+                        rows.append(
+                            (gid, url, f"{url}#{sid}#{pos}", int(sid) * 100000 + pos,
+                             phrase, node, form, s, e)
+                        )
+            mdf = pd.DataFrame(rows, columns=cols)
+            mdf["sentiment"] = (
+                scorer.score_sentiments(mdf) if len(mdf) else pd.Series(dtype="float64")
+            )
+            yield mdf[
+                ["group_id", "url", "phrase_id", "phrase_ord", "phrase", "node", "start", "sentiment"]
+            ]
+
+    return sentences.select("url", "group_id", "sent_id", "sentence").mapInPandas(
+        gen, _SCORED_SCHEMA
+    )
+
+
 def extract_arguments(
     spark,
     sentences: DataFrame,
@@ -210,11 +266,9 @@ def extract_arguments(
     for c, p in sorted(edges.items()):
         children.setdefault(p, []).append(c)
 
-    # ---- T6 + T9 + M3: distributed, one pass over the cached sentences ----
-    phrases = tokenize.segment_phrases(sentences, phrase_max_words)
-    matches = mining.match_glossary(phrases, nodes_post, parents, glossary)
-    scored = scoring.score_sentiment_instances(matches, sentiment_scorer).select(
-        "group_id", "url", "phrase_id", "phrase_ord", "phrase", "node", "start", "sentiment"
+    # ---- T6 + T9 + M3: distributed, one fused pass over cached sentences --
+    scored = _fused_phrase_scores(
+        sentences, nodes_post, parents, glossary, sentiment_scorer, phrase_max_words
     )
 
     per_group = _make_per_group(root, nodes_post, children, dict(edges), sentiment_threshold)

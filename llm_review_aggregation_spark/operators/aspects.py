@@ -4,7 +4,7 @@ Dataflow (reference: ontology_bert/aspects/manager.py:59-73,
 bert_entity_extractor.py:28-60):
 
     sentences x broadcast(top-k candidates)  --T7-->  entity instances
-      --M1 scorer UDF-->  scored instances
+      (mined + M1-scored in one fused mapInPandas pass)
       --groupBy(entity).avg(prob)-->  mean prob per candidate
       --filter(prob >= 0.65) join candidate counts-->  aspects(term, count, prob)
 
@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from llm_review_aggregation_spark.functions import mining, scoring
+from llm_review_aggregation_spark.functions import mining, scoring  # noqa: F401 (unfused path kept public)
 
 
 def extract_aspects(
@@ -32,8 +32,7 @@ def extract_aspects(
     cand_rows = candidates.select("term", "count").orderBy(F.desc("count"), F.asc("term")).collect()
     entities = [r["term"] for r in cand_rows]
 
-    instances = mining.mine_entity_instances(sentences, entities)
-    scored = scoring.score_entity_instances(instances, entity_scorer)
+    scored = mining.mine_and_score_entities(sentences, entities, entity_scorer)
     mean_probs = scored.groupBy("entity").agg(F.avg("prob").alias("prob"))
 
     return (

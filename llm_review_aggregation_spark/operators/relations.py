@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from llm_review_aggregation_spark.functions import mining, scoring
+from llm_review_aggregation_spark.functions import mining, scoring  # noqa: F401 (unfused path kept public)
 from llm_review_aggregation_spark.operators import tree as tree_ops
 
 
@@ -34,8 +34,7 @@ def accumulate_meronym_scores(
     relation_scorer,
 ) -> DataFrame:
     """Returns (child, parent, score_sum, pair_count)."""
-    instances = mining.mine_relation_instances(sentences, concepts, synsets)
-    scored = scoring.score_relation_instances(instances, relation_scorer)
+    scored = mining.mine_and_score_relations(sentences, concepts, synsets, relation_scorer)
     evidence = scored.select(
         F.explode(
             F.array(
