@@ -81,7 +81,7 @@ def _leg_main() -> None:
     DAGScheduler traces in BENCH_r01's tail."""
     cpus = int(os.environ["SPARK_GRAFT_LEG_CPUS"])
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    replicate = int(os.environ.get("SPARK_GRAFT_SCALING_REPLICATE", "32"))
+    replicate = int(os.environ.get("SPARK_GRAFT_SCALING_REPLICATE", "48"))
     spark = get_spark(app_name=f"bench-leg-{cpus}", cpus=cpus, shuffle_partitions=cpus)
     spark.sparkContext.setLogLevel("ERROR")
     _warmup(spark)
@@ -132,7 +132,7 @@ def main() -> None:
     #   node brings its own memory subsystem, which is the regime the (1,4)
     #   pair represents. The saturated (4,16)/(8,32) pairs are documented in
     #   BASELINE.md with the bandwidth measurements.
-    replicate = int(os.environ.get("SPARK_GRAFT_SCALING_REPLICATE", "32"))
+    replicate = int(os.environ.get("SPARK_GRAFT_SCALING_REPLICATE", "48"))
 
     # ---- headline queries at full parallelism ----
     spark = get_spark(app_name="bench", cpus=cpus, shuffle_partitions=cpus)

@@ -30,21 +30,35 @@ def word_tokenize_udf(sentence: pd.Series) -> pd.Series:
     return sentence.map(lambda s: tp.word_tokenize(s or ""))
 
 
-def segment_sentences(docs: DataFrame) -> DataFrame:
-    """docs(url, group_id, text) -> sentences(url, group_id, sent_id, sentence, tokens)."""
+def segment_sentences(docs: DataFrame, carry_cols: tuple[str, ...] = ()) -> DataFrame:
+    """docs(url, group_id, text) -> sentences(url, group_id, sent_id,
+    sentence, tokens). `carry_cols` are copied through unchanged onto every
+    exploded sentence row (e.g. warc_ts for streaming event-time ops) —
+    cheaper than re-joining them on url afterwards, and stream-safe (a
+    post-hoc join would be a stateful stream-stream join)."""
     backend = tp.current_backend()  # captured on the driver, shipped in the closure
+    carry = list(carry_cols)
+    schema = _SENT_SCHEMA
+    if carry:
+        carried_fields = ", ".join(
+            f"{f.name} {f.dataType.simpleString()}" for f in docs.schema.fields if f.name in carry
+        )
+        schema = f"{_SENT_SCHEMA}, {carried_fields}"
 
     def gen(batches):
         tp.install_backend(backend)
         for pdf in batches:
             rows = []
-            for url, gid, text in zip(pdf["url"], pdf["group_id"], pdf["text"]):
+            for tup in zip(pdf["url"], pdf["group_id"], pdf["text"], *(pdf[c] for c in carry)):
+                url, gid, text, extra = tup[0], tup[1], tup[2], tup[3:]
                 for sid, raw in enumerate(tp.sent_tokenize(text or "")):
                     s = tp.filter_underscore(raw)
-                    rows.append((url, gid, sid, s, tp.word_tokenize(s)))
-            yield pd.DataFrame(rows, columns=["url", "group_id", "sent_id", "sentence", "tokens"])
+                    rows.append((url, gid, sid, s, tp.word_tokenize(s), *extra))
+            yield pd.DataFrame(
+                rows, columns=["url", "group_id", "sent_id", "sentence", "tokens", *carry]
+            )
 
-    return docs.select("url", "group_id", "text").mapInPandas(gen, _SENT_SCHEMA)
+    return docs.select("url", "group_id", "text", *carry).mapInPandas(gen, schema)
 
 
 def segment_phrases(sentences: DataFrame, max_words: float) -> DataFrame:
