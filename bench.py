@@ -161,44 +161,48 @@ def main() -> None:
     # +/-40% between runs — BASELINE.md "Scaling evidence" — so single
     # samples are noisy; interleaving keeps drift common-mode and the
     # median rejects outlier legs) -------------------------------------------
+    # Print a complete, parseable JSON line NOW, and again after every leg
+    # pair — an external timeout mid-legs then still leaves a valid last
+    # line carrying the best evidence gathered so far.
+    print(json.dumps(out), flush=True)
+
     if do_scaling:
         n_small = int(os.environ.get("SPARK_GRAFT_SCALING_N", "1"))
         n_legs = int(os.environ.get("SPARK_GRAFT_SCALING_LEGS", "3"))
         n_big = 4 * n_small
         samples: dict[int, list[float]] = {n_big: [], n_small: []}
-        sc_docs = sc_triples = 0
-        for _ in range(n_legs):
-            for c in (n_big, n_small):
-                sec, sc_docs, sc_triples = _run_leg(c)
-                samples[c].append(sec)
 
         def _median(xs: list[float]) -> float:
             ys = sorted(xs)
             mid = len(ys) // 2
             return ys[mid] if len(ys) % 2 else (ys[mid - 1] + ys[mid]) / 2
 
-        sec_n = _median(samples[n_small])
-        sec_4n = _median(samples[n_big])
-        speedup = sec_n / sec_4n
-        out["scaling"] = {
-            "cpus_n": n_small,
-            "cpus_4n": n_big,
-            "replicate": replicate,
-            "legs": n_legs,
-            "n_docs": sc_docs,
-            "sec_n": round(sec_n, 3),
-            "sec_4n": round(sec_4n, 3),
-            "sec_n_samples": [round(s, 3) for s in samples[n_small]],
-            "sec_4n_samples": [round(s, 3) for s in samples[n_big]],
-            "docs_per_sec_n": round(sc_docs / sec_n, 2),
-            "docs_per_sec_4n": round(sc_docs / sec_4n, 2),
-            "triples_per_sec_n": round(sc_triples / sec_n, 2),
-            "triples_per_sec_4n": round(sc_triples / sec_4n, 2),
-            "speedup": round(speedup, 3),
-            "efficiency": round(speedup / 4.0, 3),
-        }
-
-    print(json.dumps(out))
+        sc_docs = sc_triples = 0
+        for _ in range(n_legs):
+            for c in (n_big, n_small):
+                sec, sc_docs, sc_triples = _run_leg(c)
+                samples[c].append(sec)
+            sec_n = _median(samples[n_small])
+            sec_4n = _median(samples[n_big])
+            speedup = sec_n / sec_4n
+            out["scaling"] = {
+                "cpus_n": n_small,
+                "cpus_4n": n_big,
+                "replicate": replicate,
+                "legs": len(samples[n_small]),
+                "n_docs": sc_docs,
+                "sec_n": round(sec_n, 3),
+                "sec_4n": round(sec_4n, 3),
+                "sec_n_samples": [round(s, 3) for s in samples[n_small]],
+                "sec_4n_samples": [round(s, 3) for s in samples[n_big]],
+                "docs_per_sec_n": round(sc_docs / sec_n, 2),
+                "docs_per_sec_4n": round(sc_docs / sec_4n, 2),
+                "triples_per_sec_n": round(sc_triples / sec_n, 2),
+                "triples_per_sec_4n": round(sc_triples / sec_4n, 2),
+                "speedup": round(speedup, 3),
+                "efficiency": round(speedup / 4.0, 3),
+            }
+            print(json.dumps(out), flush=True)
 
 
 if __name__ == "__main__":

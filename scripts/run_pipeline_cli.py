@@ -35,7 +35,15 @@ def main() -> None:
     ap.add_argument("--docs-per-group", type=int, default=40, help="for --synthetic")
     ap.add_argument("--work-dir", help="checkpoint/lineage dir (enables resume)")
     ap.add_argument("--out", help="write triples parquet here")
-    ap.add_argument("--scorer", default=None, help="override scorer backend (hash|lexicon)")
+    ap.add_argument("--scorer", default=None, help="override scorer backend (hash|lexicon|bert|llm)")
+    ap.add_argument(
+        "--table-format", default=None, choices=["parquet", "iceberg"],
+        help="checkpoint table format (iceberg needs a catalog; falls back to parquet)",
+    )
+    ap.add_argument(
+        "--tokenizer", default=None, choices=["simple", "nltk"],
+        help="tokenizer backend (nltk needs nltk + model data on all nodes)",
+    )
     args = ap.parse_args()
 
     # Imports resolved from the --py-files zip on executors and driver alike.
@@ -59,6 +67,19 @@ def main() -> None:
         cfg = entrymod._KG_CFG if args.from_documents else DEFAULT_CONFIG
     except ImportError:
         cfg = DEFAULT_CONFIG
+    overrides = {}
+    if args.scorer:
+        overrides["scorer"] = args.scorer
+    if args.table_format:
+        overrides["table_format"] = args.table_format
+    if overrides:
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, **overrides)
+    if args.tokenizer:
+        from llm_review_aggregation_spark import textproc as tp
+
+        tp.set_tokenizer_backend(args.tokenizer)
 
     t0 = time.monotonic()
     result = run_pipeline(spark, pages, cfg, work_dir=args.work_dir)

@@ -103,3 +103,56 @@ class TestPhraseScore:
 
     def test_zero_counts_guard(self):
         assert tp.phrase_score(1, 0, 5, 10, 1) == float("-inf")
+
+
+class TestLLMParsers:
+    """The regex parsers must never crash on arbitrary model output, and
+    must round-trip anything the deterministic clients emit."""
+
+    @given(st.text(max_size=300))
+    @settings(max_examples=200, deadline=None)
+    def test_parse_aspects_total(self, text):
+        from llm_review_aggregation_spark.functions import llm_scorers as ls
+
+        out = ls.parse_aspects(text)
+        assert isinstance(out, list)
+        for a, p in out:
+            assert isinstance(a, str) and isinstance(p, str)
+
+    @given(st.text(max_size=300), st.text(max_size=20), st.text(max_size=20))
+    @settings(max_examples=200, deadline=None)
+    def test_parse_relation_total(self, text, a1, a2):
+        from llm_review_aggregation_spark.functions import llm_scorers as ls
+
+        out = ls.parse_relation(text, a1, a2)
+        assert out is None or (isinstance(out[0], bool) and out[1] == 1.0)
+
+    @given(st.text(max_size=300))
+    @settings(max_examples=200, deadline=None)
+    def test_parse_judge_score_total(self, text):
+        from llm_review_aggregation_spark.functions import judge
+
+        s = judge.parse_judge_score(text)
+        assert isinstance(s, int) and s >= 0
+
+    @given(
+        st.lists(
+            st.tuples(
+                st.text(
+                    st.characters(min_codepoint=32, max_codepoint=126, exclude_characters='"\\'),
+                    min_size=1,
+                    max_size=15,
+                ),
+                st.sampled_from(["positive", "negative", "neutral"]),
+            ),
+            max_size=5,
+        )
+    )
+    @settings(max_examples=100, deadline=None)
+    def test_aspect_json_roundtrip(self, items):
+        import json
+
+        from llm_review_aggregation_spark.functions import llm_scorers as ls
+
+        text = json.dumps([{"aspect": a, "polarity": p} for a, p in items])
+        assert ls.parse_aspects(text) == items
