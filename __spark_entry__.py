@@ -5,7 +5,7 @@
   triples) over pages derived from /root/testdata/sf0.001.
 - ``queries()``: one callable per implemented operator family
   (SURVEY.md §2 + the corpus ops), each (spark, sf_dir) -> DataFrame.
-  34 queries: 26 oracle-backed, 8 rows-only.
+  35 queries: 26 oracle-backed, 9 rows-only.
 - ``oracle_sql()``: DuckDB-equivalent SQL per query where the semantics are
   ANSI-SQL-expressible — including minhash_pairs / dedup_components (the
   LSH blocking is verified by true Jaccard, so the exact pair set is the
@@ -420,6 +420,16 @@ def _q_lsh_ann_topk(spark, sf_dir):
     return out.select("q_id", "id", F.round("cosine", 6).alias("cos_sim"), "rank").orderBy("q_id", "rank")
 
 
+def _q_ivf_ann_topk(spark, sf_dir):
+    """IVF-flat ANN (coarse quantize -> probe -> exact re-rank) — the
+    complementary scale path to lsh_ann_topk; rows-only (approximate by
+    construction, recall gated in pytest vs the brute-force baseline)."""
+    emb = _load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    out = simsearch.ivf_topk(emb, queries, "embedding", "vec_id", "vec_id", k=10, nlist=16, nprobe=6)
+    return out.select("q_id", "id", F.round("cosine", 6).alias("cos_sim"), "rank").orderBy("q_id", "rank")
+
+
 def _q_media_features(spark, sf_dir):
     media = multimodal.synth_media(spark, n_images=24, n_videos=6)
     feats = multimodal.extract_image_features(media)
@@ -566,6 +576,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_pairs": _q_minhash_pairs,
         "simhash_pairs": _q_simhash_pairs,
         "lsh_ann_topk": _q_lsh_ann_topk,
+        "ivf_ann_topk": _q_ivf_ann_topk,
         "media_features": _q_media_features,
         "media_audio_features": _q_media_audio_features,
         "streaming_hourly": _q_streaming_hourly,

@@ -194,6 +194,29 @@ class TestSimSearch:
         assert recall >= 0.8, recall
 
 
+class TestIvf:
+    def test_ivf_recall_vs_brute(self, embeddings):
+        queries = embeddings.limit(5)
+        exact = simsearch.brute_force_topk(embeddings, queries, "embedding", "vec_id", "vec_id", k=5)
+        ivf = simsearch.ivf_topk(
+            embeddings, queries, "embedding", "vec_id", "vec_id", k=5, nlist=8, nprobe=4
+        )
+        e = {(r["q_id"], r["id"]) for r in exact.collect()}
+        a = {(r["q_id"], r["id"]) for r in ivf.collect()}
+        assert len(e & a) / len(e) >= 0.6, len(e & a) / len(e)
+
+    def test_ivf_assign_shapes(self, embeddings):
+        cents = simsearch.ivf_centroids(embeddings, "embedding", "vec_id", nlist=4)
+        assert len(cents) == 4 and len(cents[0]) == 64
+        # deterministic: same centroids twice
+        assert cents == simsearch.ivf_centroids(embeddings, "embedding", "vec_id", nlist=4)
+        assigned = simsearch.ivf_assign(embeddings, "embedding", "vec_id", cents, nprobe=2)
+        rows = assigned.collect()
+        n_vec = embeddings.count()
+        assert len(rows) == 2 * n_vec  # nprobe cells per vector
+        assert all(0 <= r["cell"] < 4 for r in rows)
+
+
 class TestMultimodal:
     def test_image_features(self, spark):
         media = multimodal.synth_media(spark, n_images=6, n_videos=2)
