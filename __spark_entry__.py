@@ -5,15 +5,18 @@
   triples) over pages derived from /root/testdata/sf0.001.
 - ``queries()``: one callable per implemented operator family
   (SURVEY.md §2 + the corpus ops), each (spark, sf_dir) -> DataFrame.
-  35 queries: 26 oracle-backed, 9 rows-only.
+  35 queries: 27 oracle-backed, 8 rows-only.
 - ``oracle_sql()``: DuckDB-equivalent SQL per query where the semantics are
   ANSI-SQL-expressible — including minhash_pairs / dedup_components (the
   LSH blocking is verified by true Jaccard, so the exact pair set is the
   oracle) and streaming_hourly (tumbling windows == the batch rollup).
-  Genuinely approximate or non-SQL ops (kg_* pipeline, simhash banding,
-  LSH ANN / LSH cosine near-dup, multimodal, lineage) are rows-only by
-  design: their outputs are recall-bounded subsets or run artifacts, and
-  each has a pytest containment/differential gate instead.
+  Even simhash_pairs is oracle-backed: sound banding makes the engine
+  output equal ALL hamming<=3 pairs, and the md5-majority simhash is
+  computable from first principles in SQL. Genuinely approximate or
+  non-SQL ops (kg_* pipeline, LSH/IVF ANN, LSH cosine near-dup,
+  multimodal, judge, lineage) are rows-only by design: their outputs are
+  recall-bounded subsets or model/run artifacts, and each has a pytest
+  containment/differential gate instead.
 
 Column names are aliased identically on both sides; float aggregates go
 through DECIMAL(18,4) for order-independent exact sums, or are rounded to a
@@ -799,6 +802,34 @@ def oracle_sql() -> dict[str, str]:
             FROM s a JOIN s b ON a.doc_id < b.doc_id
             WHERE len(list_intersect(a.sh, b.sh))
                   / greatest(len(list_distinct(list_concat(a.sh, b.sh))), 1)::DOUBLE >= 0.5
+            ORDER BY a, b
+        """,
+        # simhash_pairs: the engine's 4x16-bit banding is SOUND for
+        # max_hamming=3 (pigeonhole), so its output equals ALL pairs with
+        # hamming(simhash) <= 3 — and the simhash itself (per-bit majority
+        # over 64-bit md5-prefix token hashes, bit set iff strictly more
+        # ones) is computable from first principles in SQL; HUGEINT
+        # accumulates the bit sum (UBIGINT << overflows at bit 63).
+        "simhash_pairs": """
+            WITH t AS (
+              SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+              FROM documents
+            ), e AS (
+              SELECT doc_id, unnest(toks) AS tok FROM t
+            ), h AS (
+              SELECT doc_id, ('0x' || substring(md5(tok), 1, 16))::UBIGINT AS hv FROM e
+            ), bits AS (
+              SELECT doc_id, b, sum(((hv >> b) & 1)::INT) AS ones, count(*) AS n
+              FROM h CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS b)
+              GROUP BY doc_id, b
+            ), sim AS (
+              SELECT doc_id,
+                     sum(CASE WHEN ones * 2 > n THEN (1::HUGEINT << b) ELSE 0 END)::UBIGINT AS u
+              FROM bits GROUP BY doc_id
+            )
+            SELECT a.doc_id AS a, b.doc_id AS b, bit_count(xor(a.u, b.u)) AS hamming
+            FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.u, b.u)) <= 3
             ORDER BY a, b
         """,
         # dedup_components: same pair set as minhash_pairs (edges), then
