@@ -106,15 +106,26 @@ def jaccard_pairs_bitset(
 
     Each document's distinct token set becomes ceil(|V|/64) longs; the pair
     predicate is sum(bit_count(a&b)) / sum(bit_count(a|b)) — whole-stage
-    codegen, ~2 longs of state per doc instead of a string array, and the
-    only shuffle is the (group-keyed) self-join. Exact: identical output to
-    the array_intersect formulation, so the same SQL oracle applies.
+    codegen, ~2 longs of state per doc instead of a string array. Exact:
+    identical output to the array_intersect formulation, so the same SQL
+    oracle applies.
 
-    One tiny driver action discovers the vocabulary (sorted, broadcast as an
-    array literal); raises if |V| > max_vocab — open-vocabulary webtext must
-    use `jaccard_pairs` with LSH/prefix blocking instead, where Zipfian
-    rarity makes blocking effective.
+    Scale shape: token ids come from a broadcast-hash join against the tiny
+    vocab table (no per-row linear scan over a vocab-sized literal), and the
+    candidate join runs over DISTINCT signatures, not documents — a bounded
+    vocabulary bounds the number of distinct token sets, so replicated /
+    templated docs collapse before the quadratic step. Pairs are expanded
+    back from the signature groups afterwards (identical-signature groups
+    emit their internal pairs at J=1.0 directly; the output itself is the
+    only quadratic term left, and that's inherent to pair semantics).
+
+    One tiny driver action discovers the vocabulary (sorted, ≤ max_vocab
+    rows); raises if |V| > max_vocab — open-vocabulary webtext must use
+    `jaccard_pairs` with LSH/prefix blocking instead, where Zipfian rarity
+    makes blocking effective.
     """
+    if not (0.0 < threshold <= 1.0):
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
     toks_expr = F.array_distinct(textstats.tokens_col(F.col(text_col)))
     vocab = sorted(
         r["t"]
@@ -126,36 +137,66 @@ def jaccard_pairs_bitset(
             "jaccard_pairs with blocking for open-vocabulary corpora"
         )
     nchunks = max(1, (len(vocab) + 63) // 64)
-    varr = F.array(*[F.lit(t) for t in vocab])
-    tids = F.transform(toks_expr, lambda t: F.array_position(varr, t) - 1)
+    spark = df.sparkSession
+    vocab_df = spark.createDataFrame(
+        [(t, i) for i, t in enumerate(vocab)], "t string, tid int"
+    )
     # 1 << i as signed-long literals (shiftleft() takes only literal counts)
     pow2 = F.array(*[F.lit((1 << i) if i < 63 else -(2**63)).cast("long") for i in range(64)])
+    gcols = [F.col(group_col).alias("g")] if group_col else []
+    gkey = ["g"] if group_col else []
 
-    def _chunk_mask(c: int):
-        return F.aggregate(
-            tids,
-            F.lit(0).cast("long"),
-            lambda acc, t: acc.bitwiseOR(
-                F.when(
-                    (t >= c * 64) & (t < (c + 1) * 64),
-                    F.element_at(pow2, (t % 64).cast("int") + 1),
-                ).otherwise(F.lit(0).cast("long"))
+    # token -> id via broadcast hash join (O(1) per token); docs with zero
+    # tokens drop out here, which is exact for threshold > 0: an empty set's
+    # jaccard with anything (itself included) is 0/max(union,1) = 0.
+    toks = df.select(*gcols, F.col(id_col).alias("id"), F.explode(toks_expr).alias("t"))
+    mapped = toks.join(F.broadcast(vocab_df), "t")
+    bitval = F.element_at(pow2, (F.col("tid") % 64).cast("int") + 1)
+    mask_aggs = [
+        F.bit_or(
+            F.when((F.col("tid") >= c * 64) & (F.col("tid") < (c + 1) * 64), bitval)
+            .otherwise(F.lit(0).cast("long"))
+        ).alias(f"m{c}")
+        for c in range(nchunks)
+    ]
+    packed = mapped.groupBy(*gkey, "id").agg(*mask_aggs)
+
+    # Collapse identical signatures: the candidate join is quadratic in
+    # DISTINCT (group, mask...) signatures only.
+    mcols = [f"m{c}" for c in range(nchunks)]
+    sigs = packed.groupBy(*gkey, *mcols).agg(
+        F.sort_array(F.collect_list("id")).alias("ids"),
+        F.min("id").alias("rep"),
+    )
+
+    # Within-signature pairs: identical token sets, J = 1.0 exactly.
+    n_ids = F.size("ids")
+    within_pairs = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.greatest(n_ids - i - 1, F.lit(0))),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
             ),
         )
-
-    cols = [F.col(id_col).alias("id")] + [_chunk_mask(c).alias(f"m{c}") for c in range(nchunks)]
-    gcols = [F.col(group_col).alias("g")] if group_col else []
-    packed = df.select(*gcols, *cols)
-
-    a = packed.select(
-        *([F.col("g")] if group_col else []),
-        F.col("id").alias("a"),
-        *[F.col(f"m{c}").alias(f"a{c}") for c in range(nchunks)],
     )
-    b = packed.select(
-        *([F.col("g")] if group_col else []),
-        F.col("id").alias("b"),
-        *[F.col(f"m{c}").alias(f"b{c}") for c in range(nchunks)],
+    within = (
+        sigs.filter(n_ids > 1)
+        .select(*gkey, F.explode(within_pairs).alias("p"))
+        .select(*gkey, F.col("p.a").alias("a"), F.col("p.b").alias("b"),
+                F.lit(1.0).alias("jaccard"))
+    )
+
+    # Cross-signature pairs: join distinct signatures (ordered by their
+    # min-id representative so each unordered signature pair appears once),
+    # verify with the bitset predicate, then expand member pairs.
+    a = sigs.select(
+        *gkey, F.col("rep").alias("ra"), F.col("ids").alias("ids_a"),
+        *[F.col(m).alias(f"a{c}") for c, m in enumerate(mcols)],
+    )
+    b = sigs.select(
+        *gkey, F.col("rep").alias("rb"), F.col("ids").alias("ids_b"),
+        *[F.col(m).alias(f"b{c}") for c, m in enumerate(mcols)],
     )
     inter = sum(
         (F.bit_count(F.col(f"a{c}").bitwiseAND(F.col(f"b{c}"))) for c in range(nchunks)),
@@ -165,13 +206,22 @@ def jaccard_pairs_bitset(
         (F.bit_count(F.col(f"a{c}").bitwiseOR(F.col(f"b{c}"))) for c in range(nchunks)),
         F.lit(0),
     )
-    joined = a.join(b, ["g"] if group_col else F.lit(True)).filter(F.col("a") < F.col("b"))
-    out = (
-        joined.withColumn("jaccard", inter / F.greatest(union, F.lit(1)))
+    cross = (
+        a.join(b, gkey if group_col else F.lit(True))
+        .filter(F.col("ra") < F.col("rb"))
+        .withColumn("jaccard", inter / F.greatest(union, F.lit(1)))
         .filter(F.col("jaccard") >= threshold)
+        .select(*gkey, F.explode("ids_a").alias("ia"), F.col("ids_b"), "jaccard")
+        .select(*gkey, "ia", F.explode("ids_b").alias("ib"), "jaccard")
+        .select(
+            *gkey,
+            F.least("ia", "ib").alias("a"),
+            F.greatest("ia", "ib").alias("b"),
+            "jaccard",
+        )
     )
-    keep = (["g"] if group_col else []) + ["a", "b", "jaccard"]
-    return out.select(*keep)
+    keep = gkey + ["a", "b", "jaccard"]
+    return cross.select(*keep).unionByName(within.select(*keep))
 
 
 def minhash_near_duplicates(

@@ -152,6 +152,42 @@ class TestJaccardBitset:
         assert set(out) == {(1, 2)}
         assert abs(out[(1, 2)] - 65 / 70) < 1e-9
 
+    def test_replicated_corpus_collapses_to_distinct_signatures(self, spark):
+        """Candidate generation is quadratic in DISTINCT token sets: 3
+        templates replicated 20x each must emit every within-template pair
+        at J=1.0 plus the expanded cross-template pairs, exactly matching
+        the all-pairs array formulation."""
+        templates = ["a b c d", "a b c e", "x y z w"]
+        docs = [(t * 100 + i, templates[t]) for t in range(3) for i in range(20)]
+        df = spark.createDataFrame(docs, "id long, text string")
+        got = {
+            (r["a"], r["b"], round(r["jaccard"], 6))
+            for r in dedup.jaccard_pairs_bitset(df, "text", "id", threshold=0.5).collect()
+        }
+        toks = df.select("id", F.array_distinct(textstats.tokens_col(F.col("text"))).alias("t"))
+        a = toks.select(F.col("id").alias("a"), F.col("t").alias("ta"))
+        b = toks.select(F.col("id").alias("b"), F.col("t").alias("tb"))
+        ref = (
+            a.crossJoin(b).filter(F.col("a") < F.col("b"))
+            .withColumn("j", F.size(F.array_intersect("ta", "tb"))
+                        / F.greatest(F.size(F.array_union("ta", "tb")), F.lit(1)))
+            .filter(F.col("j") >= 0.5)
+        )
+        expected = {(r["a"], r["b"], round(r["j"], 6)) for r in ref.collect()}
+        assert got == expected
+        # 20-choose-2 within each of 3 templates + 20*20 across the two
+        # overlapping templates (J = 3/5)
+        assert len(got) == 3 * 190 + 400
+
+    def test_empty_token_docs_dropped(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a b c"), (2, "a b c"), (3, ""), (4, "   ")], "id long, text string"
+        )
+        got = {(r["a"], r["b"]) for r in dedup.jaccard_pairs_bitset(
+            df, "text", "id", threshold=0.5
+        ).collect()}
+        assert got == {(1, 2)}
+
 
 class TestCosineNearDupLsh:
     def test_lsh_subset_of_exact(self, embeddings):
