@@ -90,20 +90,30 @@ def _leg_main() -> None:
     print(json.dumps({"leg": {"cpus": cpus, "sec": sec, "n_docs": n_docs, "n_triples": n_triples}}))
 
 
-def _run_leg(cpus: int) -> tuple[float, int, int]:
+def _run_leg(cpus: int) -> tuple[float, int, int] | None:
+    """Run one scaling leg in a subprocess; None if it hung or died. A
+    bounded timeout keeps a wedged Spark leg from stalling the whole bench —
+    the progressive JSON printing only helps if control returns here."""
     env = {**os.environ, "SPARK_GRAFT_LEG_CPUS": str(cpus)}
-    proc = subprocess.run(
-        [sys.executable, os.path.abspath(__file__)], env=env, capture_output=True, text=True
-    )
+    timeout_s = int(os.environ.get("SPARK_GRAFT_LEG_TIMEOUT", "1200"))
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, timeout=timeout_s,
+        )
+    except subprocess.TimeoutExpired:
+        print(f"scaling leg (cpus={cpus}) timed out after {timeout_s}s; skipping sample",
+              file=sys.stderr, flush=True)
+        return None
     for line in reversed(proc.stdout.strip().splitlines()):
         try:
             leg = json.loads(line)["leg"]
             return leg["sec"], leg["n_docs"], leg["n_triples"]
         except (json.JSONDecodeError, KeyError):
             continue
-    raise RuntimeError(
-        f"scaling leg (cpus={cpus}) produced no result; stderr tail: {proc.stderr[-2000:]}"
-    )
+    print(f"scaling leg (cpus={cpus}) produced no result; stderr tail: "
+          f"{proc.stderr[-2000:]}", file=sys.stderr, flush=True)
+    return None
 
 
 def main() -> None:
@@ -180,8 +190,13 @@ def main() -> None:
         sc_docs = sc_triples = 0
         for _ in range(n_legs):
             for c in (n_big, n_small):
-                sec, sc_docs, sc_triples = _run_leg(c)
+                res = _run_leg(c)
+                if res is None:  # timed-out / failed leg: skip the sample,
+                    continue     # remaining legs still complete
+                sec, sc_docs, sc_triples = res
                 samples[c].append(sec)
+            if not (samples[n_small] and samples[n_big]):
+                continue
             sec_n = _median(samples[n_small])
             sec_4n = _median(samples[n_big])
             speedup = sec_n / sec_4n

@@ -56,10 +56,21 @@ def brute_force_topk(
 
 
 def _plane_coef(plane_key: int, j):
-    """Deterministic pseudo-random coefficient in [-1, 1] for component j of
-    hyperplane `plane_key` — murmur3 of (key, j) scaled. Declared as a column
-    expression, so no dimension needs to be known at plan time."""
-    return (F.pmod(F.hash(F.lit(plane_key), j), F.lit(2_000_001)) / F.lit(1_000_000.0)) - F.lit(1.0)
+    """Approximately-Gaussian deterministic coefficient for component j of
+    hyperplane `plane_key`: sum of 3 independent hashed uniforms on [-1, 1]
+    (Irwin-Hall / CLT; variance exactly 1). A Gaussian projection makes the
+    sign-LSH collision probability the rotation-invariant 1 - theta/pi;
+    a plain uniform draw would bias bucket recall for vectors aligned with
+    the coordinate axes. Still a pure column expression — no dimension or
+    driver-side action needed at plan time."""
+
+    def _u(r: int):
+        return (
+            F.pmod(F.hash(F.lit(plane_key), F.lit(r), j), F.lit(2_000_001))
+            / F.lit(1_000_000.0)
+        ) - F.lit(1.0)
+
+    return _u(0) + _u(1) + _u(2)
 
 
 def _bucket_expr(vec_col: str, planes: int, seed: int):

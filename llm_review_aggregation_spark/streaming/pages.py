@@ -56,12 +56,15 @@ def streaming_mention_counts(
     watermark: str = "30 minutes",
 ) -> DataFrame:
     """Incremental A1-front: per event-time window, how often each candidate
-    term is mentioned. Candidate dictionary is broadcast-small (top-k),
-    matching the batch miners' closure-broadcast discipline; state is
-    bounded by (windows in watermark) x |candidates|."""
+    term is mentioned. Counts preserve per-sentence multiplicity (a term
+    appearing twice in one sentence counts twice), matching the batch
+    count_noun_terms occurrence semantics — array_intersect would collapse
+    to sentences-containing-term. Candidate dictionary is broadcast-small
+    (top-k), matching the batch miners' closure-broadcast discipline; state
+    is bounded by (windows in watermark) x |candidates|."""
     terms = F.array(*[F.lit(t) for t in candidate_terms])
-    mentions = (
-        sentences.withColumn("term", F.explode(F.array_intersect(terms, F.col("tokens"))))
+    mentions = sentences.withColumn(
+        "term", F.explode(F.filter(F.col("tokens"), lambda t: F.array_contains(terms, t)))
     )
     return (
         mentions.withWatermark("warc_ts", watermark)

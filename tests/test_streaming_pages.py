@@ -61,13 +61,33 @@ def test_streaming_mention_counts_equal_batch(spark, pages_dir):
     expected = {
         (r["window_start"], r["term"]): r["n_mentions"]
         for r in (
-            batch_sents.withColumn("term", F.explode(F.array_intersect(terms_arr, F.col("tokens"))))
+            batch_sents.withColumn(
+                "term",
+                F.explode(F.filter(F.col("tokens"), lambda t: F.array_contains(terms_arr, t))),
+            )
             .groupBy(F.window("warc_ts", "1 hour").alias("w"), "term")
             .agg(F.count(F.lit(1)).alias("n_mentions"))
             .select(F.col("w.start").alias("window_start"), "term", "n_mentions")
         ).collect()
     }
     assert got == expected and len(got) > 0
+
+
+def test_mention_counts_preserve_multiplicity(spark):
+    """A term repeated within one sentence counts once per occurrence
+    (occurrence semantics, not sentences-containing-term). withWatermark is
+    a no-op on a batch frame, so the streaming expression is unit-testable
+    directly."""
+    sents = spark.createDataFrame(
+        [("2024-01-01 00:10:00", ["lens", "lens", "body"]),
+         ("2024-01-01 00:20:00", ["lens", "strap"])],
+        "warc_ts string, tokens array<string>",
+    ).withColumn("warc_ts", F.to_timestamp("warc_ts"))
+    got = {
+        r["term"]: r["n_mentions"]
+        for r in sp.streaming_mention_counts(sents, ["lens", "body"], window="1 hour").collect()
+    }
+    assert got == {"lens": 3, "body": 1}
 
 
 def test_batch_callers_unaffected_by_carry(spark, pages_dir):
