@@ -15,9 +15,11 @@ Spark-first restatement:
   call on the executor (the judge client batches internally). For the
   ≤100-row ontology tables this degenerates to a single batch; for
   web-scale judging (e.g. grading millions of opinion triples) the same
-  plan fans out per partition. Rate limiting is a client concern —
-  bound it by coalescing to the number of allowed concurrent API callers
-  (`df.coalesce(max_concurrency)`), not by per-row sleeps.
+  plan fans out per partition. Rate limiting and transient-error retry are
+  a client concern: wrap the client in ``llm_scorers.RetryingClient``
+  (bounded backoff retries + min-interval throttling, the reference's
+  llm_manager.py:36-78 loop as a wrapper) and bound concurrent API callers
+  by coalescing (`df.coalesce(max_concurrency)`), not by per-row sleeps.
 - A18 (average relation score) is one `agg(avg)`.
 - write-back is a broadcast join of the score column onto the stage table
   through the normal StageStore chokepoint — no row-at-a-time UPDATE.
@@ -54,14 +56,24 @@ RELATION_JUDGE_INSTRUCTION = (
 _SCORE_RE = re.compile(r"Score\**\s*:\**\s*\**(?:\[\[)?(\d+)(?:\]\])?")
 
 
-def aspect_judge_prompt(product: str, term: str) -> str:
-    return f"{ASPECT_JUDGE_INSTRUCTION}\nProduct: {product}\nTerm: {term}"
+def aspect_judge_prompt(product: str, term: str, examples=None) -> str:
+    """Optional few-shot (input, output) exemplars ride ahead of the item
+    under judgment — the reference's n-shot prompting
+    (src/data/n_shot_examples.py, llm_judge_prompts.py)."""
+    from llm_review_aggregation_spark.functions.llm_scorers import _with_examples
+
+    return _with_examples(
+        ASPECT_JUDGE_INSTRUCTION, examples, f"Product: {product}\nTerm: {term}"
+    )
 
 
-def relation_judge_prompt(category: str, parent: str, child: str) -> str:
-    return (
-        f"{RELATION_JUDGE_INSTRUCTION}\nCategory: {category}\n"
-        f"Parent: {parent}\nChild: {child}"
+def relation_judge_prompt(category: str, parent: str, child: str, examples=None) -> str:
+    from llm_review_aggregation_spark.functions.llm_scorers import _with_examples
+
+    return _with_examples(
+        RELATION_JUDGE_INSTRUCTION,
+        examples,
+        f"Category: {category}\nParent: {parent}\nChild: {child}",
     )
 
 
@@ -102,13 +114,16 @@ class FakeJudgeClient:
         return [f"Score: [[{self._grade(p)}]] deterministic grade." for p in prompts]
 
 
-def judge_aspects(aspects: DataFrame, client, product: str, term_col: str = "term") -> DataFrame:
+def judge_aspects(
+    aspects: DataFrame, client, product: str, term_col: str = "term", examples=None
+) -> DataFrame:
     """aspects(term, ...) -> (term, judge_score). One mapInPandas pass;
     each Arrow batch = one batched generate call."""
+    examples = tuple(examples or ())
 
     def gen(batches):
         for pdf in batches:
-            prompts = [aspect_judge_prompt(product, t) for t in pdf[term_col]]
+            prompts = [aspect_judge_prompt(product, t, examples) for t in pdf[term_col]]
             scores = [parse_judge_score(r) for r in client.generate(prompts)]
             yield pd.DataFrame({"term": pdf[term_col], "judge_score": scores})
 
@@ -119,15 +134,16 @@ def judge_aspects(aspects: DataFrame, client, product: str, term_col: str = "ter
 
 def judge_ontology_edges(
     edges: DataFrame, client, category: str,
-    subj_col: str = "subj", obj_col: str = "obj",
+    subj_col: str = "subj", obj_col: str = "obj", examples=None,
 ) -> DataFrame:
     """ontology_edges(subj=child, obj=parent, ...) -> (subj, obj,
     judge_score) — one batched pass over the (small) edge table."""
+    examples = tuple(examples or ())
 
     def gen(batches):
         for pdf in batches:
             prompts = [
-                relation_judge_prompt(category, parent, child)
+                relation_judge_prompt(category, parent, child, examples)
                 for child, parent in zip(pdf[subj_col], pdf[obj_col])
             ]
             scores = [parse_judge_score(r) for r in client.generate(prompts)]

@@ -39,8 +39,10 @@ from __future__ import annotations
 
 import json
 import re
+import time
+import warnings
 from dataclasses import dataclass, field
-from typing import Protocol
+from typing import Callable, Protocol, Sequence
 
 import pandas as pd
 
@@ -64,26 +66,57 @@ RELATION_INSTRUCTION = (
     "or an empty JSON object if neither is a part of the other."
 )
 
-# recall-oriented grammar stand-ins: the reference constrains generation with
-# EBNF json grammars (src/data/json_grammar/*.ebnf); clients that cannot
-# enforce a grammar may ignore this and rely on the regex parsers below.
-ASPECT_GRAMMAR = '{"aspects": [{"aspect": STRING, "polarity": STRING}*]}'
-RELATION_GRAMMAR = '{"part": STRING, "whole": STRING}'
+# EBNF (GBNF-dialect) grammars for constrained decoding, written from first
+# principles for this engine's two output shapes; the reference ships the
+# same mechanism as src/data/json_grammar/*.ebnf files fed to
+# transformers-cfg. Clients that cannot enforce a grammar fall back to the
+# tolerant regex parsers below (grammar_logits_processors warns once).
+ASPECT_GRAMMAR = r"""
+root ::= "[" ws (aspect ("," ws aspect)*)? ws "]"
+aspect ::= "{" ws "\"aspect\"" ws ":" ws string ws "," ws "\"polarity\"" ws ":" ws polarity ws "}"
+polarity ::= "\"positive\"" | "\"neutral\"" | "\"negative\""
+string ::= "\"" [ \t!#-\[\]-~]* "\""
+ws ::= [ ]*
+"""
+
+RELATION_GRAMMAR = r"""
+root ::= "{" ws (pair)? ws "}"
+pair ::= "\"part\"" ws ":" ws string ws "," ws "\"whole\"" ws ":" ws string
+string ::= "\"" [ \t!#-\[\]-~]* "\""
+ws ::= [ ]*
+"""
 
 _ASPECT_RE = re.compile(r'"aspect":\s*"(.*?)",\s*"polarity":\s*"(.*?)"')
 _RELATION_RE = re.compile(r'"part":\s*"(.*?)",\s*"whole":\s*"(.*?)"')
 
+# (input, output) exemplars prepended to prompts — the reference's n-shot
+# prompting (src/data/n_shot_examples.py, fed by the prompt managers).
+Exemplars = Sequence[tuple[str, str]]
 
-def aspect_prompt(review_text: str) -> str:
-    """Aspect+sentiment extraction prompt (aspects/prompt_manager.py:61-69)."""
-    return f"{ASPECT_INSTRUCTION}\n{_REVIEW_OPEN}\n{review_text}\n{_REVIEW_CLOSE}"
+
+def _with_examples(instruction: str, examples: Exemplars | None, body: str) -> str:
+    if not examples:
+        return f"{instruction}\n{body}"
+    shots = "\n\n".join(f"{inp}\nOutput: {out}" for inp, out in examples)
+    return f"{instruction}\n\nExamples:\n{shots}\n\n{body}"
 
 
-def relation_prompt(sentence: str, aspect1: str, aspect2: str) -> str:
+def aspect_prompt(review_text: str, examples: Exemplars | None = None) -> str:
+    """Aspect+sentiment extraction prompt (aspects/prompt_manager.py:61-69);
+    optional few-shot exemplars ride ahead of the review."""
+    return _with_examples(
+        ASPECT_INSTRUCTION, examples, f"{_REVIEW_OPEN}\n{review_text}\n{_REVIEW_CLOSE}"
+    )
+
+
+def relation_prompt(
+    sentence: str, aspect1: str, aspect2: str, examples: Exemplars | None = None
+) -> str:
     """Meronym-direction prompt (relations/prompt_manager.py:49-66)."""
-    return (
-        f'{RELATION_INSTRUCTION}\nSentence: "{sentence}"\n'
-        f'Aspect1: "{aspect1}"\nAspect2: "{aspect2}"'
+    return _with_examples(
+        RELATION_INSTRUCTION,
+        examples,
+        f'Sentence: "{sentence}"\nAspect1: "{aspect1}"\nAspect2: "{aspect2}"',
     )
 
 
@@ -121,6 +154,38 @@ class LLMClient(Protocol):
 
 
 _HF_CACHE: dict[tuple, object] = {}
+_GRAMMAR_FALLBACK_WARNED = False
+
+
+def grammar_logits_processors(grammar: str | None, tokenizer):
+    """EBNF grammar -> transformers-cfg constrained-decoding logits
+    processors — the reference's enforcement mechanism
+    (src/base/hf_llm_wrapper.py:100-125). Returns None when no grammar is
+    requested, or — with a ONE-TIME RuntimeWarning — when transformers_cfg
+    is not importable, so a caller can never silently believe constrained
+    decode is happening when it isn't; unconstrained output then relies on
+    the tolerant regex parsers."""
+    global _GRAMMAR_FALLBACK_WARNED
+    if grammar is None:
+        return None
+    try:
+        from transformers_cfg.generation.logits_process import (
+            GrammarConstrainedLogitsProcessor,
+        )
+        from transformers_cfg.grammar_utils import IncrementalGrammarConstraint
+    except ImportError:
+        if not _GRAMMAR_FALLBACK_WARNED:
+            warnings.warn(
+                "transformers_cfg is not importable: generation is NOT "
+                "grammar-constrained; relying on tolerant regex parsing "
+                "of free-form output",
+                RuntimeWarning,
+                stacklevel=2,
+            )
+            _GRAMMAR_FALLBACK_WARNED = True
+        return None
+    constraint = IncrementalGrammarConstraint(grammar, "root", tokenizer)
+    return [GrammarConstrainedLogitsProcessor(constraint)]
 
 
 @dataclass
@@ -130,8 +195,10 @@ class HFLLMClient:
     Picklable shell holding only the model name and sampling knobs; the
     model materializes once per Python worker (module cache), so the
     iterator-UDF pattern keeps it warm across Arrow batches. Grammar
-    enforcement is delegated to the model wrapper when available; otherwise
-    the regex parsers tolerate free-form completions.
+    enforcement goes through grammar_logits_processors (transformers-cfg
+    when importable, one-time-warned regex fallback otherwise), reaching
+    model.generate as logits_processor — the reference's mechanism
+    (hf_llm_wrapper.py:100-125).
     """
 
     model_name: str
@@ -158,10 +225,11 @@ class HFLLMClient:
             _HF_CACHE[key] = (tok, model)
         return _HF_CACHE[key]
 
-    def generate(self, prompts: list[str], grammar: str | None = None) -> list[str]:  # pragma: no cover
+    def generate(self, prompts: list[str], grammar: str | None = None) -> list[str]:
         import torch
 
         tok, model = self._load()
+        processors = grammar_logits_processors(grammar, tok)
         out: list[str] = []
         for lo in range(0, len(prompts), self.batch_size):
             chunk = prompts[lo : lo + self.batch_size]
@@ -174,6 +242,7 @@ class HFLLMClient:
                     temperature=self.temperature,
                     top_p=self.top_p,
                     repetition_penalty=self.repetition_penalty,
+                    logits_processor=processors,
                 )
             new_tokens = gen[:, enc["input_ids"].shape[1] :]
             out.extend(tok.batch_decode(new_tokens, skip_special_tokens=True))
@@ -204,8 +273,10 @@ class FakeLLMClient:
     calls: int = 0  # generation-call counter (test observability)
 
     def _answer_aspects(self, prompt: str) -> str:
-        lo = prompt.index(_REVIEW_OPEN) + len(_REVIEW_OPEN)
-        hi = prompt.index(_REVIEW_CLOSE)
+        # rindex: the review under test is the LAST marker pair — few-shot
+        # exemplars prepended by _with_examples may themselves carry markers
+        lo = prompt.rindex(_REVIEW_OPEN) + len(_REVIEW_OPEN)
+        hi = prompt.rindex(_REVIEW_CLOSE)
         review = prompt[lo:hi].strip()
         words = review.lower().split()
         wordset = set(words)
@@ -248,6 +319,58 @@ class FakeLLMClient:
         return out
 
 
+@dataclass
+class RetryingClient:
+    """Operational wrapper for external extraction/judge clients: bounded
+    retry with (optionally exponential) backoff on transient errors, plus a
+    minimum interval between generate calls for rate limiting. Restates the
+    reference's driver-side sleep-and-retry loop
+    (src/llm_judge/llm_manager.py:36-78 — retry on ResourceExhausted, raise
+    immediately on InvalidArgument) as a reusable wrapper any ``LLMClient``
+    can wear; errors in ``fatal`` propagate without retry. ``sleep`` and
+    ``clock`` are injectable for tests."""
+
+    inner: LLMClient
+    max_attempts: int = 5
+    backoff_s: float = 10.0
+    backoff_multiplier: float = 1.0
+    min_interval_s: float = 0.0
+    retryable: tuple[type[BaseException], ...] = (Exception,)
+    fatal: tuple[type[BaseException], ...] = ()
+    sleep: Callable[[float], None] = time.sleep
+    clock: Callable[[], float] = time.monotonic
+    _last_call: float | None = field(default=None, repr=False, compare=False)
+
+    @property
+    def batch_size(self) -> int:
+        return self.inner.batch_size
+
+    def generate(self, prompts: list[str], grammar: str | None = None) -> list[str]:
+        delay = self.backoff_s
+        for attempt in range(1, self.max_attempts + 1):
+            if self.min_interval_s and self._last_call is not None:
+                wait = self.min_interval_s - (self.clock() - self._last_call)
+                if wait > 0:
+                    self.sleep(wait)
+            self._last_call = self.clock()
+            try:
+                return self.inner.generate(prompts, grammar)
+            except self.fatal:
+                raise
+            except self.retryable as exc:
+                if attempt == self.max_attempts:
+                    raise
+                warnings.warn(
+                    f"generate failed (attempt {attempt}/{self.max_attempts}): "
+                    f"{exc!r}; retrying in {delay:g}s",
+                    RuntimeWarning,
+                    stacklevel=2,
+                )
+                self.sleep(delay)
+                delay *= self.backoff_multiplier
+        raise AssertionError("unreachable")  # pragma: no cover
+
+
 # ---------------------------------------------------------------------------
 # Scorer adapters (plug into functions/scoring.py's mapInPandas kernels)
 # ---------------------------------------------------------------------------
@@ -269,6 +392,7 @@ class LLMEntityScorer:
     extract-then-count flow, aspects/manager.py:32-49)."""
 
     client: LLMClient
+    examples: tuple = ()  # few-shot (input, output) exemplars
 
     def score_entities(self, pdf: pd.DataFrame) -> pd.Series:
         sents = [
@@ -276,7 +400,9 @@ class LLMEntityScorer:
             for t, i, e in zip(pdf["masked_tokens"], pdf["entity_idx"], pdf["entity"])
         ]
         uniq = sorted(set(sents))
-        responses = self.client.generate([aspect_prompt(s) for s in uniq], ASPECT_GRAMMAR)
+        responses = self.client.generate(
+            [aspect_prompt(s, self.examples) for s in uniq], ASPECT_GRAMMAR
+        )
         aspects_of = {s: {a for a, _ in parse_aspects(r)} for s, r in zip(uniq, responses)}
         return pd.Series(
             [1.0 if e in aspects_of[s] else 0.0 for s, e in zip(sents, pdf["entity"])],
@@ -292,6 +418,7 @@ class LLMRelationScorer:
     snd is the part (relations/prompt_manager.py:36-47)."""
 
     client: LLMClient
+    examples: tuple = ()
 
     def score_relations(self, pdf: pd.DataFrame) -> pd.DataFrame:
         sents = [
@@ -302,7 +429,7 @@ class LLMRelationScorer:
             )
         ]
         prompts = [
-            relation_prompt(s, c1, c2)
+            relation_prompt(s, c1, c2, self.examples)
             for s, c1, c2 in zip(sents, pdf["fst_concept"], pdf["snd_concept"])
         ]
         responses = self.client.generate(prompts, RELATION_GRAMMAR)
@@ -328,11 +455,14 @@ class LLMSentimentScorer:
     LLM votes."""
 
     client: LLMClient
+    examples: tuple = ()
 
     def score_sentiments(self, pdf: pd.DataFrame) -> pd.Series:
         phrases = [p or "" for p in pdf["phrase"]]
         uniq = sorted(set(phrases))
-        responses = self.client.generate([aspect_prompt(p) for p in uniq], ASPECT_GRAMMAR)
+        responses = self.client.generate(
+            [aspect_prompt(p, self.examples) for p in uniq], ASPECT_GRAMMAR
+        )
         polarity_of: dict[str, dict[str, str]] = {
             p: {a: pol for a, pol in parse_aspects(r)} for p, r in zip(uniq, responses)
         }

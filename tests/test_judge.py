@@ -72,3 +72,20 @@ class TestJudgePasses:
         assert "judge_score" in enriched.columns
         assert enriched.count() == result.ontology_edges.count()
         assert enriched.filter("judge_score IS NULL").count() == 0
+
+
+class TestJudgeNShot:
+    def test_exemplars_ride_through_judge_prompts(self):
+        ex = (("Product: camera\nTerm: lens", "Score: [[5]] core component"),)
+        p = judge.aspect_judge_prompt("camera", "strap", ex)
+        assert "Examples:" in p and "Score: [[5]]" in p
+        assert p.rstrip().endswith("Term: strap")
+        rp = judge.relation_judge_prompt("camera", "camera", "lens", ex)
+        assert "Examples:" in rp and rp.rstrip().endswith("Child: lens")
+
+    def test_fake_judge_grades_last_item_despite_exemplars(self, spark):
+        client = judge.FakeJudgeClient(meronyms={"lens": "camera"})
+        ex = (("Parent: camera\nChild: lens", "Score: [[5]]"),)
+        edges = spark.createDataFrame([("strap", "camera")], "subj string, obj string")
+        scored = judge.judge_ontology_edges(edges, client, "camera", examples=ex).collect()
+        assert scored[0]["judge_score"] == 1  # graded the real edge, not the exemplar
