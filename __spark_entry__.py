@@ -326,15 +326,19 @@ def _q_cosine_near_dup(spark, sf_dir):
 
 
 def _q_cosine_near_dup_lsh(spark, sf_dir):
-    """Scale path: hyperplane-LSH bucketed candidates verified by exact
-    cosine — linear in bucket occupancy, never all-pairs. Output is a
-    subset of cosine_near_dup (recall < 1 by construction; containment is
-    pytest-enforced), so this is rows-only for the driver gate."""
+    """Scale path: blocked candidates verified by exact cosine — never
+    all-pairs. At this LOOSE threshold (0.35) the auto router picks IVF
+    home-vs-probe candidate generation (sign-LSH collision odds approach a
+    coin flip below cosine ~0.6 and measured only ~2.3x prune here; the
+    asymmetric IVF join prunes 7.1x at sf0.1 with recall 0.56, both
+    deterministic). Output is a subset of cosine_near_dup (recall < 1 by
+    construction; containment is pytest-enforced), so this is rows-only
+    for the driver gate."""
     emb = _load(spark, sf_dir, "embeddings").withColumn(
         "embedding", F.transform("embedding", lambda x: x.cast("double"))
     )
     out = dedup.embedding_near_duplicates(
-        emb, "embedding", "vec_id", threshold=0.35, planes=10, probe_hamming=1, tables=8
+        emb, "embedding", "vec_id", threshold=0.35, nlist=128, nprobe=10
     )
     return out.select("a", "b", F.round("cosine", 6).alias("cos_sim")).orderBy("a", "b")
 

@@ -287,22 +287,10 @@ def embedding_near_duplicates_exact(
     )
 
 
-def embedding_near_duplicates(
-    df: DataFrame, vec_col: str, id_col: str, threshold: float = 0.95,
-    planes: int = 12, probe_hamming: int = 1, tables: int = 1,
-) -> DataFrame:
-    """Random-hyperplane LSH buckets, verified by exact cosine. Candidates
-    are bucket-joined only (linear in bucket occupancy, never all-pairs);
-    recall < 1 by construction — cross-validate against
-    embedding_near_duplicates_exact at test scale. More `tables` buys
-    recall for index size."""
-    buckets = simsearch.hyperplane_buckets(
-        df, vec_col, id_col, planes=planes, probe_hamming=probe_hamming, tables=tables
-    )
+def _verify_cosine_pairs(df: DataFrame, vec_col: str, id_col: str,
+                         cand: DataFrame, threshold: float) -> DataFrame:
+    """Exact-cosine verification of a candidate (a, b) table."""
     vecs = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
-    a = buckets.select(F.col("bucket"), F.col("id").alias("a"))
-    b = buckets.select(F.col("bucket"), F.col("id").alias("b"))
-    cand = a.join(b, "bucket").filter(F.col("a") < F.col("b")).select("a", "b").distinct()
     va = vecs.select(F.col("id").alias("a"), F.col("vec").alias("va"))
     vb = vecs.select(F.col("id").alias("b"), F.col("vec").alias("vb"))
     return (
@@ -312,3 +300,84 @@ def embedding_near_duplicates(
         .filter(F.col("cosine") >= threshold)
         .select("a", "b", "cosine")
     )
+
+
+# below this cosine threshold, sign-LSH barely prunes (collision probability
+# 1 - theta/pi tends to 1/2 as cosine -> 0: at tau=0.35 a measured ~2.3x on
+# the sf0.1 embeddings) while IVF home-vs-probe pairing still cuts
+# candidates by ~nlist/nprobe — so the auto route switches generators there.
+IVF_ROUTE_THRESHOLD = 0.6
+
+
+def embedding_near_duplicates_ivf(
+    df: DataFrame, vec_col: str, id_col: str, threshold: float = 0.35,
+    nlist: int = 128, nprobe: int = 10,
+) -> DataFrame:
+    """IVF-cell candidates verified by exact cosine — the scale path for
+    LOOSE similarity joins (low thresholds), where sign-LSH bucket collision
+    odds approach a coin flip. Candidate generation is ASYMMETRIC: every
+    vector is indexed under its single nearest cell (home) and probes its
+    `nprobe` nearest cells; a pair is a candidate when either endpoint's
+    home cell is among the other's probed cells. That buys multi-probe
+    recall while the directed join stays n*nprobe x (n/nlist) — candidate
+    count shrinks ~nlist/nprobe vs all-pairs (the symmetric both-sides-
+    probe-k variant only prunes nlist/nprobe^2). All cell assignment is
+    JVM expressions (simsearch.ivf_assign); the only shuffles key on cell
+    then on the candidate ids. Recall < 1 by construction (pairs straddling
+    unprobed cells are missed) — containment vs
+    embedding_near_duplicates_exact is pytest-enforced.
+
+    Defaults are tuned on the driver's embeddings tables (measured at
+    tau=0.35, deterministic md5-seeded centroids: candidate prune 7.4x at
+    sf0.001 / 7.1x at sf0.1 with recall 0.70 / 0.56 vs exact — sign-LSH
+    prunes only ~2.3x in the same regime). At corpus scale pick
+    nlist ~ sqrt(n) so centroid count and cell occupancy grow together."""
+    cents = simsearch.ivf_centroids(df, vec_col, id_col, nlist)
+    home = simsearch.ivf_assign(df, vec_col, id_col, cents, nprobe=1)
+    probe = simsearch.ivf_assign(df, vec_col, id_col, cents, nprobe=nprobe)
+    p = probe.select("cell", F.col("id").alias("a"))
+    h = home.select("cell", F.col("id").alias("b"))
+    cand = (
+        p.join(h, "cell")
+        .filter(F.col("a") != F.col("b"))
+        .select(
+            F.least(F.col("a"), F.col("b")).alias("a"),
+            F.greatest(F.col("a"), F.col("b")).alias("b"),
+        )
+        .distinct()
+    )
+    return _verify_cosine_pairs(df, vec_col, id_col, cand, threshold)
+
+
+def embedding_near_duplicates(
+    df: DataFrame, vec_col: str, id_col: str, threshold: float = 0.95,
+    planes: int = 12, probe_hamming: int = 1, tables: int = 1,
+    nlist: int = 128, nprobe: int = 10, method: str = "auto",
+) -> DataFrame:
+    """Blocked cosine near-dup pairs, verified by exact cosine. Candidate
+    generation routes by regime (method="auto"):
+
+    - threshold >= IVF_ROUTE_THRESHOLD: random-hyperplane sign-LSH buckets —
+      collision probability 1 - theta/pi is high for genuine near-dups, so
+      tight thresholds prune hard; `tables` buys recall for index size.
+    - threshold < IVF_ROUTE_THRESHOLD: IVF home-vs-probe pairs
+      (embedding_near_duplicates_ivf) — at loose thresholds sign-LSH
+      collision odds approach 1/2 and buckets stop pruning, while IVF
+      candidates stay ~nlist/nprobe below all-pairs.
+
+    Either way candidates are bucket/cell-joined only (never all-pairs) and
+    recall < 1 by construction — cross-validate against
+    embedding_near_duplicates_exact at test scale."""
+    if method not in ("auto", "lsh", "ivf"):
+        raise ValueError(f"unknown method {method!r}")
+    if method == "ivf" or (method == "auto" and threshold < IVF_ROUTE_THRESHOLD):
+        return embedding_near_duplicates_ivf(
+            df, vec_col, id_col, threshold, nlist=nlist, nprobe=nprobe
+        )
+    buckets = simsearch.hyperplane_buckets(
+        df, vec_col, id_col, planes=planes, probe_hamming=probe_hamming, tables=tables
+    )
+    a = buckets.select(F.col("bucket"), F.col("id").alias("a"))
+    b = buckets.select(F.col("bucket"), F.col("id").alias("b"))
+    cand = a.join(b, "bucket").filter(F.col("a") < F.col("b")).select("a", "b").distinct()
+    return _verify_cosine_pairs(df, vec_col, id_col, cand, threshold)

@@ -190,9 +190,29 @@ class TestJaccardBitset:
 
 
 class TestCosineNearDupLsh:
-    def test_lsh_subset_of_exact(self, embeddings):
-        """The LSH near-dup contract query must be a verified subset of the
-        exact all-pairs baseline (candidates can be missed, never wrong)."""
+    def test_auto_routed_ivf_subset_of_exact(self, embeddings):
+        """The blocked near-dup contract query (auto-routed to IVF at this
+        loose threshold) must be a verified subset of the exact all-pairs
+        baseline (candidates can be missed, never wrong). Recall floor is
+        exact-reproducible: md5-seeded centroids make the whole path
+        deterministic (measured 0.704 on this fixture)."""
+        emb = embeddings.withColumn("embedding", F.transform("embedding", lambda x: x.cast("double")))
+        exact = {
+            (r["a"], r["b"])
+            for r in dedup.embedding_near_duplicates_exact(emb, "embedding", "vec_id", threshold=0.35).collect()
+        }
+        got = {
+            (r["a"], r["b"])
+            for r in dedup.embedding_near_duplicates(
+                emb, "embedding", "vec_id", threshold=0.35, nlist=128, nprobe=10
+            ).collect()
+        }
+        assert got <= exact
+        assert len(got) >= 0.65 * len(exact), (len(got), len(exact))
+
+    def test_explicit_lsh_method_subset_of_exact(self, embeddings):
+        """method="lsh" forces the sign-LSH generator even below the route
+        threshold — still a verified subset of exact."""
         emb = embeddings.withColumn("embedding", F.transform("embedding", lambda x: x.cast("double")))
         exact = {
             (r["a"], r["b"])
@@ -201,11 +221,17 @@ class TestCosineNearDupLsh:
         lsh = {
             (r["a"], r["b"])
             for r in dedup.embedding_near_duplicates(
-                emb, "embedding", "vec_id", threshold=0.35, planes=10, probe_hamming=1, tables=8
+                emb, "embedding", "vec_id", threshold=0.35,
+                planes=10, probe_hamming=1, tables=8, method="lsh",
             ).collect()
         }
         assert lsh <= exact
         assert len(lsh) >= 0.5 * len(exact), (len(lsh), len(exact))
+
+    def test_method_validation(self, embeddings):
+        import pytest as _pytest
+        with _pytest.raises(ValueError, match="unknown method"):
+            dedup.embedding_near_duplicates(embeddings, "embedding", "vec_id", method="bogus")
 
 
 class TestSimSearch:
