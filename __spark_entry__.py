@@ -497,25 +497,45 @@ def _q_kg_lineage(spark, sf_dir):
 
 
 def _q_kg_judge_scores(spark, sf_dir):
-    """M8/A18: LLM-judge pass over the flagship ontology edges + per-run
-    average (deterministic FakeJudgeClient; sf0.001 pipeline like
-    kg_lineage, so the gate stays cheap). Rows-only: judge scores are
-    model output, not ANSI-SQL semantics."""
-    from llm_review_aggregation_spark.functions import judge
+    """M8/A18 end-to-end S-curve: LLM-judge pass over the flagship
+    ontology edges -> per-run average -> write-back of the score column
+    onto the edge table THROUGH the StageStore chokepoint (the reference's
+    db/manager.py:437-465 UPDATE loop restated as a broadcast join + stage
+    write; run.py:146-148 average). The returned rows are read back from
+    the checkpointed `edges_judged` table, so the driver gate exercises
+    judge -> average -> persist -> re-read, not just the scoring pass.
+    Deterministic FakeJudgeClient; sf0.001 pipeline like kg_lineage so the
+    gate stays cheap. Rows-only: judge scores are model output, not
+    ANSI-SQL semantics."""
+    import tempfile
 
-    pages = synth.pages_from_documents(spark, "/root/testdata/sf0.001")
-    res = run_pipeline(spark, pages, _KG_CFG)
-    client = judge.FakeJudgeClient(
-        aspect_terms=frozenset(_WEBTEXT_PARAMS["aspect_terms"]),
-        meronyms=dict(_WEBTEXT_PARAMS["meronyms"]),
-    )
-    scored = judge.judge_ontology_edges(res.ontology_edges, client, "webtext")
-    avg = judge.average_relation_score(scored)
-    return (
-        scored.withColumn("run_avg_score", F.round(F.lit(avg), 4))
-        .orderBy("subj", "obj")
-        .localCheckpoint(eager=True)
-    )
+    from llm_review_aggregation_spark.functions import judge
+    from llm_review_aggregation_spark.plans.lineage import StageStore
+
+    with tempfile.TemporaryDirectory() as tmp:
+        pages = synth.pages_from_documents(spark, "/root/testdata/sf0.001")
+        res = run_pipeline(spark, pages, _KG_CFG, work_dir=tmp)
+        client = judge.FakeJudgeClient(
+            aspect_terms=frozenset(_WEBTEXT_PARAMS["aspect_terms"]),
+            meronyms=dict(_WEBTEXT_PARAMS["meronyms"]),
+        )
+        scored = judge.judge_ontology_edges(res.ontology_edges, client, "webtext")
+        avg = judge.average_relation_score(scored)
+        store = StageStore(spark, tmp)
+        judged = store.run_table(
+            "edges_judged",
+            lambda: judge.attach_judge_scores(res.ontology_edges, scored).withColumn(
+                "run_avg_score", F.round(F.lit(avg), 4)
+            ),
+        )
+        return (
+            judged.select(
+                "subj", "obj", F.round("score", 6).alias("edge_score"),
+                "judge_score", "run_avg_score",
+            )
+            .orderBy("subj", "obj")
+            .localCheckpoint(eager=True)
+        )
 
 
 def _q_media_audio_features(spark, sf_dir):
