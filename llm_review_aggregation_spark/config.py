@@ -37,6 +37,14 @@ class PipelineConfig:
     num_clustering_levels: int = 3
     embedding_window: int = 4
     rcs_topn: int = 10
+    # term-embedding backend for driver-exact clustering: "ppmi"
+    # (deterministic hashed-PPMI, the CI default), "word2vec" (Spark MLlib
+    # distributed skip-gram — the reference's gensim M4 restated per
+    # SURVEY §7 R3), or "fasttext" (M5: same fit + post-hoc subword/OOV
+    # composition). embedding_params feeds dim/epochs/seed/num_partitions
+    # through to the builder.
+    embedding_backend: str = "ppmi"
+    embedding_params: dict = field(default_factory=dict)
 
     # argumentation
     sentiment_threshold: float = 0.95

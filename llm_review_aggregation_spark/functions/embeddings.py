@@ -178,6 +178,213 @@ def sparse_cosine_pairs(weights: DataFrame, threshold: float, salt_mod: int | No
     )
 
 
+def merge_phrase_tokens(sentences: DataFrame, terms: list[str], tokens_col: str = "tokens"):
+    """Column expression: `tokens` with every multi-word term's token
+    subsequence merged into one underscore-joined token — the gensim
+    phrase-merge step the reference applies before Word2Vec training
+    (word_vectoriser_base.py:77-93). JVM-side: one join to a spaced
+    string, one chained regexp_replace per (bounded, <=dictionary-size)
+    multi-word term with a lookahead so adjacent occurrences both merge,
+    one re-split."""
+    import re as _re
+
+    phrases = [t.split(" ") for t in terms if " " in t]
+    col = F.concat(F.lit(" "), F.array_join(F.col(tokens_col), " "), F.lit(" "))
+    # longest first so "optical zoom lens" wins over "optical zoom"
+    for tt in sorted(phrases, key=len, reverse=True):
+        pat = " " + _re.escape(" ".join(tt)) + "(?= )"
+        col = F.regexp_replace(col, pat, " " + "_".join(tt))
+    return F.filter(F.split(F.trim(col), " "), lambda t: t != "")
+
+
+def _w2v_term_key(term: str) -> str:
+    return term.replace(" ", "_")
+
+
+def _fit_word2vec(
+    sentences: DataFrame,
+    terms: list[str],
+    window: int,
+    dim: int,
+    min_count: int,
+    epochs: int,
+    seed: int,
+    num_partitions: int,
+):
+    """Fit Spark MLlib Word2Vec (distributed skip-gram) on the
+    phrase-merged token stream; returns the fitted model. numPartitions=1
+    keeps the fit deterministic for a fixed seed (the same caveat as
+    gensim workers>1, SURVEY §7 R3); raise it for throughput at corpus
+    scale and re-validate the synset threshold."""
+    from pyspark.ml.feature import Word2Vec
+
+    corpus = sentences.select(merge_phrase_tokens(sentences, terms).alias("_toks"))
+    w2v = (
+        Word2Vec()
+        .setInputCol("_toks")
+        .setOutputCol("_vec")
+        .setVectorSize(dim)
+        .setWindowSize(window)
+        .setMinCount(min_count)
+        .setMaxIter(epochs)
+        .setSeed(seed)
+        .setNumPartitions(num_partitions)
+    )
+    return w2v.fit(corpus)
+
+
+def build_word2vec_similarity_model(
+    sentences: DataFrame,
+    terms: list[str],
+    window: int = 4,
+    dim: int = 300,
+    topn: int = 10,
+    min_count: int = 1,
+    epochs: int = 20,
+    seed: int = 17,
+    num_partitions: int = 1,
+) -> SimilarityModel:
+    """M4 via Spark MLlib Word2Vec — the reference's gensim skip-gram
+    (size 300, window 4, min_count 1, 20 epochs,
+    concepts/word2vec_wrapper.py:34-57) re-fit with Spark's distributed
+    implementation, which is SURVEY §7 R3's stated web-scale plan (gensim
+    is single-node and nondeterministic with workers>1). The fit is
+    cluster-parallel; only the candidate terms' vectors (<=dictionary
+    size x dim) are collected into the driver-side SimilarityModel, whose
+    relative-cosine interface is unchanged."""
+    model = _fit_word2vec(sentences, terms, window, dim, min_count, epochs, seed, num_partitions)
+    keys = {_w2v_term_key(t): t for t in terms}
+    rows = model.getVectors().filter(F.col("word").isin(list(keys))).collect()
+    by_term = {keys[r["word"]]: np.array(r["vector"].toArray()) for r in rows}
+    vecs = np.zeros((len(terms), dim))
+    for i, t in enumerate(terms):
+        if t in by_term:
+            vecs[i] = by_term[t]
+    return SimilarityModel(terms, vecs, topn=topn)
+
+
+def _char_ngrams(word: str, n_min: int, n_max: int) -> list[str]:
+    """FastText subword units: boundary-marked character n-grams of
+    <word> (fasttext_wrapper.py trains these jointly; here they index a
+    post-hoc composition table)."""
+    marked = f"<{word}>"
+    out = []
+    for n in range(n_min, n_max + 1):
+        out.extend(marked[i : i + n] for i in range(len(marked) - n + 1))
+    return out
+
+
+def build_fasttext_similarity_model(
+    sentences: DataFrame,
+    terms: list[str],
+    window: int = 5,
+    dim: int = 100,
+    topn: int = 10,
+    min_count: int = 1,
+    epochs: int = 20,
+    seed: int = 17,
+    num_partitions: int = 1,
+    ngram_min: int = 3,
+    ngram_max: int = 6,
+) -> SimilarityModel:
+    """M5 — FastText-style subword model (reference: gensim FastText
+    skipgram size 100 window 5, concepts/fasttext_wrapper.py:34-67),
+    restated on public Spark API as a DOCUMENTED SUBSTITUTION: MLlib has
+    no FastText, so the word-level vectors come from the same distributed
+    skip-gram fit as M4, and FastText's subword composition (a word's
+    vector is built from its boundary-marked char n-grams) is applied
+    post-hoc — each n-gram's vector is the count-weighted mean of the
+    trained vectors of vocabulary words containing it (computed with one
+    distributed explode+groupBy over the model's vector table), and an
+    OUT-OF-VOCABULARY term's vector is the mean of its n-grams' vectors.
+    That preserves FastText's headline behavior the pipeline relies on —
+    morphological variants land near their stems and unseen terms still
+    embed — while training stays JVM-distributed. Joint n-gram training
+    is the (documented) fidelity gap."""
+    model = _fit_word2vec(sentences, terms, window, dim, min_count, epochs, seed, num_partitions)
+    keys = {_w2v_term_key(t): t for t in terms}
+    vec_tbl = model.getVectors()
+    rows = vec_tbl.filter(F.col("word").isin(list(keys))).collect()
+    by_term = {keys[r["word"]]: np.array(r["vector"].toArray()) for r in rows}
+    oov = [t for t in terms if t not in by_term]
+    if oov:
+        # distributed n-gram composition table, restricted to the n-grams
+        # the OOV terms actually need (bounded: |oov| x ~|word| x n_range).
+        # All JVM-side: substr-expanded n-grams, broadcast semi-join to the
+        # needed set, per-(gram, dimension) average via posexplode — the
+        # collect is |needed grams| x dim rows, independent of vocab size.
+        from pyspark.ml.functions import vector_to_array
+
+        needed = sorted(
+            {g for t in oov for w in _w2v_term_key(t).split("_") for g in _char_ngrams(w, ngram_min, ngram_max)}
+        )
+        marked = F.concat(F.lit("<"), F.col("word"), F.lit(">"))
+        per_n = []
+        for n in range(ngram_min, ngram_max + 1):
+            cnt = F.length(marked) - F.lit(n - 1)
+            per_n.append(
+                F.when(
+                    cnt >= 1,
+                    F.transform(F.sequence(F.lit(1), cnt), lambda i, n=n: marked.substr(i, F.lit(n))),
+                ).otherwise(F.array().cast("array<string>"))
+            )
+        grams_col = F.array_distinct(F.flatten(F.array(*per_n)))
+        needed_df = vec_tbl.sparkSession.createDataFrame([(g,) for g in needed], "gram string")
+        ng = (
+            vec_tbl.select(F.explode(grams_col).alias("gram"), vector_to_array("vector").alias("arr"))
+            .join(F.broadcast(needed_df), "gram")
+            .select("gram", F.posexplode("arr").alias("pos", "val"))
+            .groupBy("gram", "pos")
+            .agg(F.avg("val").alias("val"))
+            .collect()
+        )
+        gram_vec: dict[str, np.ndarray] = {}
+        for r in ng:
+            gram_vec.setdefault(r["gram"], np.zeros(dim))[r["pos"]] = r["val"]
+        for t in oov:
+            gs = [gram_vec[g] for w in _w2v_term_key(t).split("_") for g in _char_ngrams(w, ngram_min, ngram_max) if g in gram_vec]
+            if gs:
+                by_term[t] = np.mean(gs, axis=0)
+    vecs = np.zeros((len(terms), dim))
+    for i, t in enumerate(terms):
+        if t in by_term:
+            vecs[i] = by_term[t]
+    return SimilarityModel(terms, vecs, topn=topn)
+
+
+def save_similarity_model(model: SimilarityModel, path: str) -> None:
+    """S6 model-artifact sink — the reference pickles its gensim models
+    (word2vec_wrapper.py:50-51, word_vectoriser_base.py:61-66); here the
+    collected term/vector table is written as one npz artifact (terms +
+    the raw cosine/topn state is recomputed on load, so the file holds
+    only data, no code)."""
+    import os
+
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    # persist the exact cosine matrix and topn sums: cheap (n<=dictionary
+    # size) and makes load byte-reproducible without refitting
+    np.savez(
+        path,
+        terms=np.array(model.terms, dtype=object),
+        cos=model.cos,
+        topn_sum=model.topn_sum,
+    )
+
+
+def load_similarity_model(path: str) -> SimilarityModel:
+    """S6 model-artifact scan: rebuild the SimilarityModel from the npz
+    artifact (broadcast-safe — a few KB for a <=512-term dictionary)."""
+    if not path.endswith(".npz"):
+        path = path + ".npz"
+    data = np.load(path, allow_pickle=True)
+    model = SimilarityModel.__new__(SimilarityModel)
+    model.terms = [str(t) for t in data["terms"]]
+    model.index = {t: i for i, t in enumerate(model.terms)}
+    model.cos = data["cos"]
+    model.topn_sum = data["topn_sum"]
+    return model
+
+
 def build_similarity_model(
     sentences: DataFrame,
     terms: list[str],

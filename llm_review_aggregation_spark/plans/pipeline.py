@@ -109,8 +109,17 @@ def run_pipeline(
                 window=cfg.embedding_window,
             )
         else:
-            sim = embeddings.build_similarity_model(
-                sentences, list(counts), window=cfg.embedding_window, topn=cfg.rcs_topn
+            builders = {
+                "ppmi": embeddings.build_similarity_model,
+                "word2vec": embeddings.build_word2vec_similarity_model,
+                "fasttext": embeddings.build_fasttext_similarity_model,
+            }
+            if cfg.embedding_backend not in builders:
+                raise ValueError(f"unknown embedding_backend {cfg.embedding_backend!r}")
+            kwargs = dict(cfg.embedding_params)
+            kwargs.setdefault("window", cfg.embedding_window)
+            sim = builders[cfg.embedding_backend](
+                sentences, list(counts), topn=cfg.rcs_topn, **kwargs
             )
             synset_counts, synsets = concepts_ops.cluster_synsets(
                 root_name, counts, sim, cfg.similarity_threshold, cfg.num_clustering_levels

@@ -1,0 +1,162 @@
+"""M4/M5 embedding backends: Spark MLlib Word2Vec (the reference's gensim
+skip-gram restated per SURVEY §7 R3) and the FastText-style subword variant,
+plus the S6 model-artifact sink/scan (save/load of the fitted similarity
+state). Reference: concepts/word2vec_wrapper.py:34-57,
+concepts/fasttext_wrapper.py:34-67, word_vectoriser_base.py:61-66."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from llm_review_aggregation_spark import synth
+from llm_review_aggregation_spark.functions import cleaning, embeddings, tokenize
+
+
+@pytest.fixture(scope="module")
+def sentences(spark):
+    pages = synth.synthesize_pages(spark, n_groups=4, docs_per_group=30)
+    docs = cleaning.extract_docs(pages)
+    return tokenize.segment_sentences(docs).cache()
+
+
+TERMS = ["battery", "power cell", "lens", "screen", "camera"]
+
+
+class TestMergePhraseTokens:
+    def test_merges_multiword_terms(self, spark):
+        df = spark.createDataFrame(
+            [(["the", "power", "cell", "died"],), (["power", "cell", "power", "cell"],)],
+            "tokens array<string>",
+        )
+        out = [r[0] for r in df.select(embeddings.merge_phrase_tokens(df, TERMS)).collect()]
+        assert out[0] == ["the", "power_cell", "died"]
+        # adjacent occurrences must BOTH merge (lookahead, not consumed space)
+        assert out[1] == ["power_cell", "power_cell"]
+
+    def test_longest_phrase_wins(self, spark):
+        df = spark.createDataFrame([(["optical", "zoom", "lens"],)], "tokens array<string>")
+        out = [r[0] for r in df.select(
+            embeddings.merge_phrase_tokens(df, ["optical zoom", "optical zoom lens"])
+        ).collect()]
+        assert out[0] == ["optical_zoom_lens"]
+
+    def test_no_phrases_passthrough(self, spark):
+        df = spark.createDataFrame([(["a", "b"],)], "tokens array<string>")
+        out = [r[0] for r in df.select(embeddings.merge_phrase_tokens(df, ["a", "b"])).collect()]
+        assert out[0] == ["a", "b"]
+
+
+class TestWord2VecBackend:
+    def test_deterministic_across_fits(self, sentences):
+        m1 = embeddings.build_word2vec_similarity_model(
+            sentences, TERMS, dim=32, epochs=2, seed=7
+        )
+        m2 = embeddings.build_word2vec_similarity_model(
+            sentences, TERMS, dim=32, epochs=2, seed=7
+        )
+        assert np.allclose(m1.cos, m2.cos)
+
+    def test_synonyms_score_above_unrelated(self, sentences):
+        """The parity surface is the clustering decision: synth synonyms
+        (which share contexts by construction) must score higher than
+        cross-concept pairs under the relative-cosine interface."""
+        syn_pairs = [(c, s) for c, ss in synth.SYNONYMS.items() for s in ss if s != c][:4]
+        terms = sorted({t for p in syn_pairs for t in p} | {"shipping", "price"})
+        m = embeddings.build_word2vec_similarity_model(sentences, terms, dim=64, epochs=5, seed=7)
+        syn_scores = [m.similarity(a, b) for a, b in syn_pairs]
+        unrel = [m.similarity(a, "shipping") for a, _ in syn_pairs]
+        assert np.mean(syn_scores) > np.mean(unrel), (syn_scores, unrel)
+
+    def test_multiword_terms_get_vectors(self, spark):
+        rows = [(["the", "power", "cell", "died", "fast"],)] * 30 + [
+            (["battery", "died", "fast", "again"],)
+        ] * 30
+        df = spark.createDataFrame(rows, "tokens array<string>")
+        m = embeddings.build_word2vec_similarity_model(df, ["power cell", "battery"], dim=16, epochs=2)
+        i = m.index["power cell"]
+        assert np.any(m.cos[i] != 0)
+
+
+class TestFastTextBackend:
+    def test_oov_term_gets_subword_vector(self, sentences):
+        """FastText's headline behavior: a term absent from the corpus
+        still embeds via its char n-grams, and lands nearest its
+        morphological stem."""
+        m = embeddings.build_fasttext_similarity_model(
+            sentences, ["battery", "batterys", "lens", "screen"], dim=32, epochs=2, seed=7
+        )
+        i = m.index["batterys"]  # not in any synth review
+        assert np.any(~np.isclose(m.cos[i], 0)), "OOV term must embed"
+        # cosine to its stem beats cosine to unrelated terms
+        cos_stem = m.cos[i][m.index["battery"]]
+        cos_other = m.cos[i][m.index["screen"]]
+        assert cos_stem > cos_other, (cos_stem, cos_other)
+
+    def test_in_vocab_matches_word2vec_fit(self, sentences):
+        """For in-vocabulary terms the fasttext builder uses the trained
+        vectors directly — same fit parameters, same similarity state."""
+        terms = ["battery", "lens", "screen"]
+        ft = embeddings.build_fasttext_similarity_model(
+            sentences, terms, window=4, dim=32, epochs=2, seed=7
+        )
+        w2 = embeddings.build_word2vec_similarity_model(
+            sentences, terms, window=4, dim=32, epochs=2, seed=7
+        )
+        assert np.allclose(ft.cos, w2.cos)
+
+
+class TestModelArtifacts:
+    def test_save_load_roundtrip(self, sentences, tmp_path):
+        m = embeddings.build_word2vec_similarity_model(sentences, TERMS, dim=16, epochs=1, seed=7)
+        path = str(tmp_path / "simmodel.npz")
+        embeddings.save_similarity_model(m, path)
+        loaded = embeddings.load_similarity_model(path)
+        assert loaded.terms == m.terms
+        assert np.allclose(loaded.cos, m.cos)
+        assert np.allclose(loaded.topn_sum, m.topn_sum)
+        for a in TERMS:
+            for b in TERMS:
+                assert loaded.similarity(a, b) == pytest.approx(m.similarity(a, b))
+
+    def test_load_without_extension(self, sentences, tmp_path):
+        m = embeddings.build_similarity_model(sentences, ["battery", "lens"], dim=64)
+        path = str(tmp_path / "m.npz")
+        embeddings.save_similarity_model(m, path)
+        loaded = embeddings.load_similarity_model(str(tmp_path / "m"))
+        assert loaded.terms == m.terms
+
+
+class TestPipelineBackendSeam:
+    def test_word2vec_backend_end_to_end(self, spark):
+        """Forced-path e2e: the pipeline completes with the MLlib backend
+        and still recovers the planted meronym edges (threshold
+        re-validated for w2v vectors per SURVEY §7 R3 — raw vectors are
+        NOT the parity surface, synsets are)."""
+        from llm_review_aggregation_spark.config import PipelineConfig
+        from llm_review_aggregation_spark.plans.pipeline import run_pipeline
+
+        pages = synth.synthesize_pages(spark, n_groups=3, docs_per_group=25)
+        cfg = PipelineConfig(
+            root_name="camera",
+            embedding_backend="word2vec",
+            embedding_params={"dim": 64, "epochs": 5, "seed": 7},
+            similarity_threshold=0.35,
+        )
+        res = run_pipeline(spark, pages, cfg)
+        canon = {s: c for c, ss in synth.SYNONYMS.items() for s in ss}
+        got = {
+            (canon.get(r["subj"], r["subj"]), canon.get(r["obj"], r["obj"]))
+            for r in res.triples.collect()
+            if r["pred"] == "partOf"
+        }
+        want = set(synth.MERONYMS.items())
+        recall = len(got & want) / len(want)
+        assert recall >= 0.8, (sorted(got), sorted(want))
+
+    def test_unknown_backend_raises(self, spark):
+        from llm_review_aggregation_spark.config import PipelineConfig
+        from llm_review_aggregation_spark.plans.pipeline import run_pipeline
+
+        pages = synth.synthesize_pages(spark, n_groups=2, docs_per_group=10)
+        with pytest.raises(ValueError, match="unknown embedding_backend"):
+            run_pipeline(spark, pages, PipelineConfig(embedding_backend="glove"))
