@@ -332,8 +332,10 @@ def _q_cosine_near_dup_lsh(spark, sf_dir):
     coin flip below cosine ~0.6 and measured only ~2.3x prune here; the
     asymmetric IVF join prunes 7.1x at sf0.1 with recall 0.56, both
     deterministic). Output is a subset of cosine_near_dup (recall < 1 by
-    construction; containment is pytest-enforced), so this is rows-only
-    for the driver gate."""
+    construction; containment is pytest-enforced). The determinism makes
+    the whole path ORACLE-BACKED: a first-principles DuckDB restatement
+    (same centroid sample, cell ranking, and probe rule) matches
+    row-for-row at sf0.001/0.01/0.1."""
     emb = _load(spark, sf_dir, "embeddings").withColumn(
         "embedding", F.transform("embedding", lambda x: x.cast("double"))
     )
@@ -429,8 +431,11 @@ def _q_lsh_ann_topk(spark, sf_dir):
 
 def _q_ivf_ann_topk(spark, sf_dir):
     """IVF-flat ANN (coarse quantize -> probe -> exact re-rank) — the
-    complementary scale path to lsh_ann_topk; rows-only (approximate by
-    construction, recall gated in pytest vs the brute-force baseline)."""
+    complementary scale path to lsh_ann_topk. Approximate vs brute force
+    (recall gated in pytest) but fully DETERMINISTIC, so it is
+    oracle-backed by a first-principles DuckDB restatement of the same
+    centroid sample / cell ranking / probe / re-rank (verified
+    row-for-row equal at sf0.001/0.01/0.1)."""
     emb = _load(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
     out = simsearch.ivf_topk(emb, queries, "embedding", "vec_id", "vec_id", k=10, nlist=16, nprobe=6)
@@ -770,6 +775,77 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.35
             ORDER BY a, b
+        """,
+        # first-principles restatement of the deterministic IVF scale path:
+        # same md5-seeded centroid sample (the 128 smallest md5('ivf:'||id)),
+        # same descending (score, index) cell ranking, home cell = rank 1,
+        # probe set = rank <= 10, candidates where either endpoint's home is
+        # in the other's probe set, exact-cosine verify at 0.35. Verified
+        # row-for-row equal to the Spark plan at sf0.001/0.01/0.1.
+        "cosine_near_dup_lsh": """
+            WITH emb AS (
+                SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+            ),
+            cents AS (
+                SELECT row_number() OVER (ORDER BY md5('ivf:' || CAST(vec_id AS VARCHAR))) - 1 AS ci, v AS cv
+                FROM (SELECT vec_id, v FROM emb ORDER BY md5('ivf:' || CAST(vec_id AS VARCHAR)) LIMIT 128)
+            ),
+            scores AS (
+                SELECT e.vec_id, c.ci,
+                       list_dot_product(e.v, c.cv)
+                         / greatest(sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv)), 1e-12) AS s
+                FROM emb e CROSS JOIN cents c
+            ),
+            ranked AS (
+                SELECT vec_id, ci, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, ci DESC) AS rk
+                FROM scores
+            ),
+            home AS (SELECT vec_id, ci FROM ranked WHERE rk = 1),
+            probe AS (SELECT vec_id, ci FROM ranked WHERE rk <= 10),
+            cand AS (
+                SELECT DISTINCT least(p.vec_id, h.vec_id) AS a, greatest(p.vec_id, h.vec_id) AS b
+                FROM probe p JOIN home h ON p.ci = h.ci AND p.vec_id <> h.vec_id
+            ),
+            pairs AS (
+                SELECT c.a, c.b, list_cosine_similarity(ea.v, eb.v) AS cos
+                FROM cand c JOIN emb ea ON ea.vec_id = c.a JOIN emb eb ON eb.vec_id = c.b
+            )
+            SELECT a, b, round(cos, 6) AS cos_sim FROM pairs WHERE cos >= 0.35 ORDER BY a, b
+        """,
+        # first-principles IVF-flat ANN: 16-cell md5-seeded quantizer, home
+        # cell per corpus vector, 6-cell probe per query (vec_id < 5),
+        # exact-cosine re-rank with (cosine DESC, id ASC) ties — the exact
+        # plan ivf_topk declares. Verified row-for-row at 3 scales.
+        "ivf_ann_topk": """
+            WITH emb AS (
+                SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+            ),
+            cents AS (
+                SELECT row_number() OVER (ORDER BY md5('ivf:' || CAST(vec_id AS VARCHAR))) - 1 AS ci, v AS cv
+                FROM (SELECT vec_id, v FROM emb ORDER BY md5('ivf:' || CAST(vec_id AS VARCHAR)) LIMIT 16)
+            ),
+            scores AS (
+                SELECT e.vec_id, c.ci,
+                       list_dot_product(e.v, c.cv)
+                         / greatest(sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv)), 1e-12) AS s
+                FROM emb e CROSS JOIN cents c
+            ),
+            ranked AS (
+                SELECT vec_id, ci, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, ci DESC) AS rk
+                FROM scores
+            ),
+            home AS (SELECT vec_id AS id, ci FROM ranked WHERE rk = 1),
+            probe AS (SELECT vec_id AS q_id, ci FROM ranked WHERE rk <= 6 AND vec_id < 5),
+            cand AS (SELECT DISTINCT p.q_id, h.id FROM probe p JOIN home h ON p.ci = h.ci),
+            scored AS (
+                SELECT c.q_id, c.id, list_cosine_similarity(eq.v, ec.v) AS cos
+                FROM cand c JOIN emb eq ON eq.vec_id = c.q_id JOIN emb ec ON ec.vec_id = c.id
+            ),
+            final AS (
+                SELECT q_id, id, cos, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, id ASC) AS rank
+                FROM scored
+            )
+            SELECT q_id, id, round(cos, 6) AS cos_sim, rank FROM final WHERE rank <= 10 ORDER BY q_id, rank
         """,
         "token_count_bpe": """
             SELECT source,
