@@ -45,6 +45,37 @@ class TestMergePhraseTokens:
         out = [r[0] for r in df.select(embeddings.merge_phrase_tokens(df, ["a", "b"])).collect()]
         assert out[0] == ["a", "b"]
 
+    def test_randomized_vs_python_reference(self, spark):
+        """Seeded differential: the chained-regexp column expression must
+        equal a sequential longest-first list-rewriting reference on random
+        token streams drawn from a small alphabet (maximizing overlaps and
+        adjacent/partial phrase collisions)."""
+        import random
+
+        rng = random.Random(1234)
+        vocab = ["a", "b", "c", "d", "e"]
+        phrases = ["a b", "b c", "a b c", "d e", "e a"]
+
+        def ref_merge(tokens):
+            toks = list(tokens)
+            for ph in sorted((p.split(" ") for p in phrases), key=len, reverse=True):
+                out, i = [], 0
+                while i < len(toks):
+                    if toks[i : i + len(ph)] == ph:
+                        out.append("_".join(ph))
+                        i += len(ph)
+                    else:
+                        out.append(toks[i])
+                        i += 1
+                toks = out
+            return toks
+
+        cases = [[rng.choice(vocab) for _ in range(rng.randrange(0, 12))] for _ in range(60)]
+        df = spark.createDataFrame([(c,) for c in cases], "tokens array<string>")
+        got = [r[0] for r in df.select(embeddings.merge_phrase_tokens(df, phrases)).collect()]
+        want = [ref_merge(c) for c in cases]
+        assert got == want
+
 
 class TestWord2VecBackend:
     def test_deterministic_across_fits(self, sentences):
