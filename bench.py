@@ -56,8 +56,21 @@ def _force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
-def _warmup(spark) -> None:
+def _warmup(spark, pipeline: bool = False) -> None:
+    """Pre-timing warmup. The trivial range query spins the JVM; with
+    `pipeline=True` a flagship run over a tiny in-memory synthetic corpus
+    additionally forces the one-time costs the timed runs should not be
+    charged for: Janino compilation of the pipeline's whole-stage-codegen
+    classes, Python UDF worker spawn + pandas/pyarrow imports, and Arrow
+    serializer setup. Measured on this box these cost ~20-26s on the FIRST
+    flagship call in a session and ~0s after (e.g. 36.5s -> 9.7s for the
+    identical sf0.1 query back-to-back), so without this the headline
+    number is a compile benchmark, not a throughput benchmark. Standard
+    JIT-warmup discipline; documented in BASELINE.md."""
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+    if pipeline:
+        pages = synth.synthesize_pages(spark, n_groups=2, docs_per_group=6)
+        run_pipeline(spark, pages, entrymod._KG_CFG).triples.count()
 
 
 def _flagship_secs(spark, sf_dir: str, replicate: int = 1) -> tuple[float, int, int]:
@@ -84,7 +97,7 @@ def _leg_main() -> None:
     replicate = int(os.environ.get("SPARK_GRAFT_SCALING_REPLICATE", "48"))
     spark = get_spark(app_name=f"bench-leg-{cpus}", cpus=cpus, shuffle_partitions=cpus)
     spark.sparkContext.setLogLevel("ERROR")
-    _warmup(spark)
+    _warmup(spark, pipeline=True)
     sec, n_docs, n_triples = _flagship_secs(spark, sf_dir, replicate=replicate)
     spark.stop()
     print(json.dumps({"leg": {"cpus": cpus, "sec": sec, "n_docs": n_docs, "n_triples": n_triples}}))
@@ -147,8 +160,16 @@ def main() -> None:
     # ---- headline queries at full parallelism ----
     spark = get_spark(app_name="bench", cpus=cpus, shuffle_partitions=cpus)
     spark.sparkContext.setLogLevel("ERROR")
-    _warmup(spark)
+    _warmup(spark, pipeline=True)
     qs = entrymod.queries()
+    # per-query codegen warmup at the smallest sf: each headline query's
+    # first call pays 1-3s of Janino compilation that a steady-state
+    # deployment pays once per cluster lifetime, not once per query
+    warm_sf = os.environ.get("SPARK_GRAFT_WARM_SF_DIR", "/root/testdata/sf0.001")
+    if os.path.isdir(warm_sf):
+        for name in HEADLINE:
+            if name != "kg_triples":  # flagship warmed via _warmup(pipeline=True)
+                _force(qs[name](spark, warm_sf))
     times: dict[str, float] = {}
     for name in HEADLINE:
         if name == "kg_triples":
