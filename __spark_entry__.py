@@ -987,4 +987,62 @@ def oracle_sql() -> dict[str, str]:
               ) c
             ) WHERE rank <= 5 ORDER BY source, rank
         """,
+        # media_features: the fake-media payload body is md5-chained
+        # (multimodal._det_bytes: block b of media m = md5('image:m:b'),
+        # 32x24 = 768 bytes = 48 blocks), so the oracle regenerates the
+        # identical byte stream with DuckDB's md5 — hex digit pairs decoded
+        # via a strpos lookup — and recomputes the mean intensity from
+        # first principles. Self-contained: the query side synthesizes its
+        # media table too (no sf_dir dependence).
+        "media_features": """
+            WITH hx AS (
+              SELECT i.media_id, md5('image:' || i.media_id || ':' || b.b) AS h
+              FROM (SELECT unnest(range(24)) AS media_id) i
+              CROSS JOIN (SELECT unnest(range(48)) AS b) b
+            ), bytes AS (
+              SELECT media_id,
+                     (strpos('0123456789abcdef', substr(h, 2*k.k + 1, 1)) - 1) * 16
+                     + (strpos('0123456789abcdef', substr(h, 2*k.k + 2, 1)) - 1) AS val
+              FROM hx CROSS JOIN (SELECT unnest(range(16)) AS k) k
+            )
+            SELECT media_id, 32 AS width, 24 AS height,
+                   round(avg(val), 4) AS mean_intensity
+            FROM bytes GROUP BY media_id ORDER BY media_id
+        """,
+        # media_audio_features: audio body = 4096 md5-chained bytes
+        # ('audio:m:b', 256 blocks) read as little-endian int16 PCM; rms =
+        # sqrt(mean(s^2)), zcr = sign-change count / (n-1) with signbit(s)
+        # = s < 0 — exactly extract_audio_features' numpy arithmetic (all
+        # intermediate sums are integers < 2^53, so float64 results are
+        # order-independent and engine-exact).
+        "media_audio_features": """
+            WITH hx AS (
+              SELECT i.media_id, b.b, md5('audio:' || i.media_id || ':' || b.b) AS h
+              FROM (SELECT unnest(range(12)) + 2000 AS media_id) i
+              CROSS JOIN (SELECT unnest(range(256)) AS b) b
+            ), samp AS (
+              SELECT media_id, b * 8 + k.k AS i,
+                     (strpos('0123456789abcdef', substr(h, 4*k.k + 1, 1)) - 1) * 16
+                     + (strpos('0123456789abcdef', substr(h, 4*k.k + 2, 1)) - 1)
+                     + 256 * ((strpos('0123456789abcdef', substr(h, 4*k.k + 3, 1)) - 1) * 16
+                              + (strpos('0123456789abcdef', substr(h, 4*k.k + 4, 1)) - 1)) AS u
+              FROM hx CROSS JOIN (SELECT unnest(range(8)) AS k) k
+            ), pcm AS (
+              SELECT media_id, i,
+                     CASE WHEN u >= 32768 THEN u - 65536 ELSE u END AS s
+              FROM samp
+            ), sgn AS (
+              SELECT media_id, s,
+                     CASE WHEN s < 0 THEN 1 ELSE 0 END AS sb,
+                     lag(CASE WHEN s < 0 THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY media_id ORDER BY i) AS psb
+              FROM pcm
+            )
+            SELECT media_id,
+                   CAST(count(*) AS BIGINT) AS n_samples,
+                   round(sqrt(avg(CAST(s AS DOUBLE) * s)), 4) AS rms,
+                   round(sum(CASE WHEN psb IS NOT NULL AND psb <> sb THEN 1 ELSE 0 END)
+                         / (count(*) - 1.0), 6) AS zcr
+            FROM sgn GROUP BY media_id ORDER BY media_id
+        """,
     }

@@ -16,6 +16,7 @@ Media table schema:
 
 from __future__ import annotations
 
+import hashlib
 import struct
 
 import numpy as np
@@ -31,12 +32,22 @@ MEDIA_SCHEMA = (
 _MAGIC = b"FAKEMEDIA0000001"  # 16-byte header for the deterministic fake codec
 
 
+def _det_bytes(kind: str, media_id: int, n: int) -> bytes:
+    """n deterministic body bytes as chained md5 digests of
+    ``{kind}:{media_id}:{block}``. md5 (not a Python RNG) so a SQL oracle can
+    regenerate the identical byte stream engine-independently — DuckDB's
+    ``md5()`` produces the same hex, making the media feature queries
+    oracle-checkable end to end."""
+    return b"".join(
+        hashlib.md5(f"{kind}:{media_id}:{b}".encode()).digest() for b in range((n + 15) // 16)
+    )[:n]
+
+
 def fake_payload(kind: str, media_id: int, width: int = 32, height: int = 24, n_frames: int = 8) -> bytes:
-    """Deterministic fake media blob: magic + packed dims + seeded bytes."""
+    """Deterministic fake media blob: magic + packed dims + md5-chained bytes."""
     body_len = {"image": width * height, "audio": 4 * 1024, "video": n_frames * 64}[kind]
-    rng = np.random.RandomState(media_id % (2**31))
     header = _MAGIC + struct.pack("<iii", width, height, n_frames)
-    return header + rng.bytes(body_len)
+    return header + _det_bytes(kind, media_id, body_len)
 
 
 def _decode_fake(payload: bytes) -> tuple[int, int, int, bytes]:
