@@ -423,7 +423,9 @@ def _q_simhash_pairs(spark, sf_dir):
 
 
 def _q_lsh_ann_topk(spark, sf_dir):
-    emb = _load(spark, sf_dir, "embeddings")
+    emb = _load(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
     queries = emb.filter(F.col("vec_id") < 5)
     out = simsearch.lsh_topk(emb, queries, "embedding", "vec_id", "vec_id", k=10, planes=6, probe_hamming=1, tables=8)
     return out.select("q_id", "id", F.round("cosine", 6).alias("cos_sim"), "rank").orderBy("q_id", "rank")
@@ -986,6 +988,63 @@ def oracle_sql() -> dict[str, str]:
                 GROUP BY 1, 2
               ) c
             ) WHERE rank <= 5 ORDER BY source, rank
+        """,
+        # lsh_ann_topk: first-principles restatement of the sign-LSH index.
+        # Hyperplane coefficients are Irwin-Hall sums of three md5-hashed
+        # uniforms (simsearch._plane_coef — md5 precisely so this oracle can
+        # exist); 8 tables x 6 planes, plane_key = (42 + 1000t)*7919 + p,
+        # bucket = sign bits + t*64; index side multi-probes hamming<=1
+        # (XOR flips 0,1,2,4,8,16,32), query side (vec_id < 5) probes its
+        # own bucket; exact-cosine re-rank with (cosine DESC, id ASC) ties.
+        "lsh_ann_topk": """
+            WITH emb AS (
+                SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+            ),
+            comp AS (
+                SELECT vec_id, generate_subscripts(v, 1) - 1 AS j, unnest(v) AS x FROM emb
+            ),
+            params AS (
+                SELECT t.t, p.p, (42 + 1000 * t.t) * 7919 + p.p AS pk
+                FROM (SELECT unnest(range(8)) AS t) t
+                CROSS JOIN (SELECT unnest(range(6)) AS p) p
+            ),
+            proj AS (
+                SELECT c.vec_id, pr.t, pr.p,
+                       sum(c.x * (
+                           ((('0x' || substr(md5('lsh:' || pr.pk || ':0:' || c.j), 1, 8))::UBIGINT
+                             % 2000001) / 1000000.0 - 1.0)
+                         + ((('0x' || substr(md5('lsh:' || pr.pk || ':1:' || c.j), 1, 8))::UBIGINT
+                             % 2000001) / 1000000.0 - 1.0)
+                         + ((('0x' || substr(md5('lsh:' || pr.pk || ':2:' || c.j), 1, 8))::UBIGINT
+                             % 2000001) / 1000000.0 - 1.0)
+                       )) AS pj
+                FROM comp c CROSS JOIN params pr
+                GROUP BY c.vec_id, pr.t, pr.p
+            ),
+            bkt AS (
+                SELECT vec_id, t,
+                       CAST(sum(CASE WHEN pj >= 0 THEN (1 << p) ELSE 0 END) + t * 64 AS BIGINT) AS bucket0
+                FROM proj GROUP BY vec_id, t
+            ),
+            cb AS (
+                SELECT DISTINCT vec_id AS id, xor(bucket0, f.f) AS bucket
+                FROM bkt CROSS JOIN (SELECT CAST(unnest([0, 1, 2, 4, 8, 16, 32]) AS BIGINT) AS f) f
+            ),
+            qb AS (
+                SELECT DISTINCT vec_id AS q_id, bucket0 AS bucket FROM bkt WHERE vec_id < 5
+            ),
+            cand AS (SELECT DISTINCT qb.q_id, cb.id FROM qb JOIN cb USING (bucket)),
+            scored AS (
+                SELECT c.q_id, c.id, list_cosine_similarity(eq.v, ec.v) AS cos
+                FROM cand c JOIN emb eq ON eq.vec_id = c.q_id JOIN emb ec ON ec.vec_id = c.id
+            ),
+            final AS (
+                SELECT q_id, id, cos,
+                       row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, id ASC) AS rank
+                FROM scored
+            )
+            SELECT q_id, id, round(cos, 6) AS cos_sim, rank FROM final
+            WHERE rank <= 10 ORDER BY q_id, rank
         """,
         # media_features: the fake-media payload body is md5-chained
         # (multimodal._det_bytes: block b of media m = md5('image:m:b'),

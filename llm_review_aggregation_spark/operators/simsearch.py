@@ -62,13 +62,28 @@ def _plane_coef(plane_key: int, j):
     sign-LSH collision probability the rotation-invariant 1 - theta/pi;
     a plain uniform draw would bias bucket recall for vectors aligned with
     the coordinate axes. Still a pure column expression — no dimension or
-    driver-side action needed at plan time."""
+    driver-side action needed at plan time.
+
+    The hash is the first 8 hex digits of md5("lsh:{plane_key}:{r}:{j}")
+    rather than Spark's Murmur3 so a SQL oracle (DuckDB md5) can regenerate
+    the exact same hyperplanes — this is what makes `lsh_ann_topk`
+    oracle-checkable end to end."""
 
     def _u(r: int):
-        return (
-            F.pmod(F.hash(F.lit(plane_key), F.lit(r), j), F.lit(2_000_001))
-            / F.lit(1_000_000.0)
-        ) - F.lit(1.0)
+        h = F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":", F.lit("lsh"), F.lit(str(plane_key)), F.lit(str(r)), j.cast("string")
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        return (F.pmod(h, F.lit(2_000_001)) / F.lit(1_000_000.0)) - F.lit(1.0)
 
     return _u(0) + _u(1) + _u(2)
 
