@@ -29,7 +29,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 LINEAGE_SCHEMA = (
-    "stage string, partition_id int, output_rows long, checkpoint_ts double, status string"
+    "stage string, partition_id int, output_rows long, checkpoint_ts double, "
+    "status string, duration_sec double"
 )
 
 
@@ -106,18 +107,29 @@ class StageStore:
         except Exception:
             return False
 
-    def _write_lineage(self, stage: str, df_on_disk: DataFrame) -> None:
+    def _write_lineage(self, stage: str, df_on_disk: DataFrame, duration_sec: float) -> None:
+        # Partition identity = the writer task's output file (part-NNNNN),
+        # via the hidden `_metadata` column — NOT spark_partition_id() of the
+        # read-back scan, which bin-packs small files and would report the
+        # reader's coalesced layout instead of the layout the stage produced.
+        if self.table_format == "parquet":
+            pid = F.regexp_extract(F.col("_metadata.file_name"), r"part-(\d+)", 1).cast("int")
+        else:
+            pid = F.spark_partition_id()
         counts = (
-            df_on_disk.groupBy(F.spark_partition_id().alias("partition_id"))
+            df_on_disk.groupBy(pid.alias("partition_id"))
             .agg(F.count(F.lit(1)).alias("output_rows"))
             .withColumn("stage", F.lit(stage))
             .withColumn("checkpoint_ts", F.lit(time.time()))
             .withColumn("status", F.lit("complete"))
-            .select("stage", "partition_id", "output_rows", "checkpoint_ts", "status")
+            .withColumn("duration_sec", F.lit(float(duration_sec)))
+            .select(
+                "stage", "partition_id", "output_rows", "checkpoint_ts", "status", "duration_sec"
+            )
         )
         if counts.rdd.isEmpty():
             counts = self.spark.createDataFrame(
-                [(stage, -1, 0, time.time(), "complete")], LINEAGE_SCHEMA
+                [(stage, -1, 0, time.time(), "complete", float(duration_sec))], LINEAGE_SCHEMA
             )
         self._write_table(counts, stage, kind="lineage")
 
@@ -125,10 +137,11 @@ class StageStore:
     def run_table(self, stage: str, fn, resume: bool = True) -> DataFrame:
         if resume and self.is_complete(stage):
             return self._read_table(stage)
+        t0 = time.time()
         df = fn()
         self._write_table(df, stage)
         on_disk = self._read_table(stage)
-        self._write_lineage(stage, on_disk)
+        self._write_lineage(stage, on_disk, duration_sec=time.time() - t0)
         return on_disk
 
     # -- small JSON artifacts (phrase tables, synsets, tree) -------------------
@@ -161,6 +174,38 @@ class StageStore:
                 return out
             return self.spark.createDataFrame([], LINEAGE_SCHEMA)
         return self.spark.read.parquet(os.path.join(self.work_dir, "_lineage", "*"))
+
+    def metrics(self) -> DataFrame:
+        """Per-stage run metrics rolled up from the per-partition lineage:
+        (stage, n_partitions, output_rows, duration_sec, rows_per_sec,
+        partition_skew) where partition_skew = max partition rows / mean
+        partition rows — the number an operator watches to decide whether a
+        stage needs salting before the next 100x scale-up. Stage wall time
+        covers compute + checkpoint write (what actually gates a resumable
+        run)."""
+        lin = self.lineage()
+        return (
+            lin.groupBy("stage")
+            .agg(
+                F.count(F.lit(1)).alias("n_partitions"),
+                F.sum("output_rows").alias("output_rows"),
+                F.max("duration_sec").alias("duration_sec"),
+                F.max("output_rows").alias("_max_part"),
+                F.avg("output_rows").alias("_avg_part"),
+            )
+            .select(
+                "stage",
+                "n_partitions",
+                "output_rows",
+                F.round("duration_sec", 3).alias("duration_sec"),
+                F.round(
+                    F.col("output_rows") / F.greatest(F.col("duration_sec"), F.lit(1e-9)), 2
+                ).alias("rows_per_sec"),
+                F.round(
+                    F.col("_max_part") / F.greatest(F.col("_avg_part"), F.lit(1e-9)), 3
+                ).alias("partition_skew"),
+            )
+        )
 
 
 class EphemeralStore:

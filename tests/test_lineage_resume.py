@@ -47,6 +47,31 @@ def test_lineage_rows_record_partitions(spark, work_dir):
     assert all(r["status"] == "complete" for r in rows)
 
 
+def test_stage_metrics_rollup(spark, work_dir):
+    """metrics() reports per-stage wall time, throughput, and partition skew
+    from the lineage rows — the operational surface the north rule's
+    'lineage + metrics' requirement names. Skew on a deliberately lopsided
+    stage must exceed the balanced stage's."""
+    store = StageStore(spark, work_dir)
+    store.run_table("stage_flat", lambda: spark.range(100).repartition(4))
+    # keys 1 and 2 hash to different slots mod 2 -> a 90/10 two-file layout
+    # (a plain 2-partition union would be coalesced back to one by AQE)
+    store.run_table(
+        "stage_skewed",
+        lambda: spark.range(100).repartition(
+            2, F.when(F.col("id") < 90, 1).otherwise(2).cast("int")
+        ),
+    )
+    m = {r["stage"]: r for r in store.metrics().collect()}
+    assert m["stage_flat"]["output_rows"] == 100
+    assert m["stage_flat"]["n_partitions"] == 4
+    assert m["stage_flat"]["duration_sec"] > 0
+    assert m["stage_flat"]["rows_per_sec"] > 0
+    assert m["stage_flat"]["partition_skew"] <= 1.2  # round-robin, ~25 each
+    assert m["stage_skewed"]["n_partitions"] == 2  # 90-row and 10-row files
+    assert m["stage_skewed"]["partition_skew"] == 1.8  # 90 / mean(90, 10)
+
+
 def test_empty_stage_records_lineage(spark, work_dir):
     store = StageStore(spark, work_dir)
     store.run_table("stage_empty", lambda: spark.range(5).filter(F.col("id") < 0))
