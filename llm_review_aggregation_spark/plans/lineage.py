@@ -101,6 +101,11 @@ class StageStore:
 
     # -- status ---------------------------------------------------------------
     def is_complete(self, stage: str) -> bool:
+        # short-circuit the common first-run miss: spark.read.parquet on a
+        # missing dir logs a WARN + stack trace before the except fires,
+        # which buries real warnings in operator logs
+        if self.table_format == "parquet" and not os.path.isdir(self._lineage_path(stage)):
+            return False
         try:
             rows = self._read_table(stage, kind="lineage").filter(F.col("status") == "complete").count()
             return rows > 0

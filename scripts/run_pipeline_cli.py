@@ -84,22 +84,32 @@ def main() -> None:
     t0 = time.monotonic()
     result = run_pipeline(spark, pages, cfg, work_dir=args.work_dir)
     if args.out:
-        result.triples.write.mode("overwrite").parquet(args.out)
+        # graph tables are partitioned by predicate: queries overwhelmingly
+        # filter on edge type first, and partition pruning then skips whole
+        # predicates at the scan (the Iceberg layout the north rule names
+        # has the same spec — partition columns, not directories)
+        result.triples.write.mode("overwrite").partitionBy("pred").parquet(args.out)
         n_triples = spark.read.parquet(args.out).count()
     else:
         n_triples = result.triples.count()
     elapsed = time.monotonic() - t0
-    print(
-        json.dumps(
-            {
-                "n_triples": n_triples,
-                "elapsed_sec": round(elapsed, 3),
-                "triples_per_sec": round(n_triples / elapsed, 3),
-                "root": result.root_name,
-                "work_dir": args.work_dir,
-            }
-        )
-    )
+    report = {
+        "n_triples": n_triples,
+        "elapsed_sec": round(elapsed, 3),
+        "triples_per_sec": round(n_triples / elapsed, 3),
+        "root": result.root_name,
+        "work_dir": args.work_dir,
+    }
+    if args.work_dir:
+        # per-stage run metrics from the checkpoint lineage: wall time,
+        # throughput, partition skew (StageStore.metrics) — the numbers an
+        # operator reads off a 1000-executor run to find the stage to salt
+        from llm_review_aggregation_spark.plans.lineage import StageStore
+
+        report["stages"] = [
+            row.asDict() for row in StageStore(spark, args.work_dir).metrics().orderBy("stage").collect()
+        ]
+    print(json.dumps(report))
     spark.stop()
 
 
