@@ -327,20 +327,24 @@ def _q_cosine_near_dup(spark, sf_dir):
 
 def _q_cosine_near_dup_lsh(spark, sf_dir):
     """Scale path: blocked candidates verified by exact cosine — never
-    all-pairs. At this LOOSE threshold (0.35) the auto router picks IVF
-    home-vs-probe candidate generation (sign-LSH collision odds approach a
-    coin flip below cosine ~0.6 and measured only ~2.3x prune here; the
-    asymmetric IVF join prunes 7.1x at sf0.1 with recall 0.56, both
-    deterministic). Output is a subset of cosine_near_dup (recall < 1 by
-    construction; containment is pytest-enforced). The determinism makes
-    the whole path ORACLE-BACKED: a first-principles DuckDB restatement
-    (same centroid sample, cell ranking, and probe rule) matches
-    row-for-row at sf0.001/0.01/0.1."""
+    all-pairs. At this LOOSE threshold (0.35) the auto router picks the
+    AND-amplified IVF generator (sign-LSH collision odds approach a coin
+    flip below cosine ~0.6 and measured only ~2.3x prune here): a pair is
+    verified only when it collides home-vs-probe in ALL 4 independent
+    md5-salted IVF tables (nlist=256, nprobe=88). Measured vs the exact
+    all-pairs baseline: recall 0.841 at 5.56x candidate prune at sf0.1
+    (0.961 / 0.945 recall at sf0.001 / sf0.01) — the round-3 single-table
+    scheme read 0.56 at 7.1x. Output is a subset of cosine_near_dup
+    (recall < 1 by construction; containment + the 0.8-recall floor are
+    pytest-enforced). The determinism makes the whole path ORACLE-BACKED:
+    a first-principles DuckDB restatement (same 4 centroid samples, cell
+    ranking, probe rule, and 4-of-4 vote) matches row-for-row."""
     emb = _load(spark, sf_dir, "embeddings").withColumn(
         "embedding", F.transform("embedding", lambda x: x.cast("double"))
     )
     out = dedup.embedding_near_duplicates(
-        emb, "embedding", "vec_id", threshold=0.35, nlist=128, nprobe=10
+        emb, "embedding", "vec_id", threshold=0.35,
+        nlist=256, nprobe=88, ivf_tables=4,
     )
     return out.select("a", "b", F.round("cosine", 6).alias("cos_sim")).orderBy("a", "b")
 
@@ -778,36 +782,46 @@ def oracle_sql() -> dict[str, str]:
             WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.35
             ORDER BY a, b
         """,
-        # first-principles restatement of the deterministic IVF scale path:
-        # same md5-seeded centroid sample (the 128 smallest md5('ivf:'||id)),
-        # same descending (score, index) cell ranking, home cell = rank 1,
-        # probe set = rank <= 10, candidates where either endpoint's home is
-        # in the other's probe set, exact-cosine verify at 0.35. Verified
-        # row-for-row equal to the Spark plan at sf0.001/0.01/0.1.
+        # first-principles restatement of the deterministic AND-amplified
+        # IVF scale path: per table t in 0..3, the 256 smallest
+        # md5('ivf:' || salt_t || id) are the centroid sample (salt_0 = '',
+        # salt_t = 't:'), cells ranked by descending (score, index), home =
+        # rank 1, probe = rank <= 88, per-table collision when either
+        # endpoint's home is in the other's probe set; a pair is verified
+        # (exact cosine >= 0.35) only when it collides in ALL 4 tables.
+        # Verified row-for-row equal to the Spark plan.
         "cosine_near_dup_lsh": """
             WITH emb AS (
                 SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
             ),
+            tabs AS (SELECT * FROM (VALUES (0, ''), (1, '1:'), (2, '2:'), (3, '3:')) AS t(tbl, salt)),
+            keyed AS (
+                SELECT t.tbl, e.vec_id, e.v,
+                       md5('ivf:' || t.salt || CAST(e.vec_id AS VARCHAR)) AS h
+                FROM emb e CROSS JOIN tabs t
+            ),
             cents AS (
-                SELECT row_number() OVER (ORDER BY md5('ivf:' || CAST(vec_id AS VARCHAR))) - 1 AS ci, v AS cv
-                FROM (SELECT vec_id, v FROM emb ORDER BY md5('ivf:' || CAST(vec_id AS VARCHAR)) LIMIT 128)
+                SELECT tbl, row_number() OVER (PARTITION BY tbl ORDER BY h) - 1 AS ci, v AS cv
+                FROM keyed
+                QUALIFY row_number() OVER (PARTITION BY tbl ORDER BY h) <= 256
             ),
             scores AS (
-                SELECT e.vec_id, c.ci,
+                SELECT c.tbl, e.vec_id, c.ci,
                        list_dot_product(e.v, c.cv)
                          / greatest(sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv)), 1e-12) AS s
                 FROM emb e CROSS JOIN cents c
             ),
             ranked AS (
-                SELECT vec_id, ci, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, ci DESC) AS rk
+                SELECT tbl, vec_id, ci, row_number() OVER (PARTITION BY tbl, vec_id ORDER BY s DESC, ci DESC) AS rk
                 FROM scores
             ),
-            home AS (SELECT vec_id, ci FROM ranked WHERE rk = 1),
-            probe AS (SELECT vec_id, ci FROM ranked WHERE rk <= 10),
-            cand AS (
-                SELECT DISTINCT least(p.vec_id, h.vec_id) AS a, greatest(p.vec_id, h.vec_id) AS b
-                FROM probe p JOIN home h ON p.ci = h.ci AND p.vec_id <> h.vec_id
+            home AS (SELECT tbl, vec_id, ci FROM ranked WHERE rk = 1),
+            probe AS (SELECT tbl, vec_id, ci FROM ranked WHERE rk <= 88),
+            coll AS (
+                SELECT DISTINCT p.tbl, least(p.vec_id, h.vec_id) AS a, greatest(p.vec_id, h.vec_id) AS b
+                FROM probe p JOIN home h ON p.tbl = h.tbl AND p.ci = h.ci AND p.vec_id <> h.vec_id
             ),
+            cand AS (SELECT a, b FROM coll GROUP BY a, b HAVING count(*) >= 4),
             pairs AS (
                 SELECT c.a, c.b, list_cosine_similarity(ea.v, eb.v) AS cos
                 FROM cand c JOIN emb ea ON ea.vec_id = c.a JOIN emb eb ON eb.vec_id = c.b

@@ -206,11 +206,21 @@ def mine_entity_instances(sentences: DataFrame, entities: list[str]) -> DataFram
     return sentences.select("url", "group_id", "sent_id", "tokens").mapInPandas(gen, _ENTITY_SCHEMA)
 
 
-def mine_and_score_entities(sentences: DataFrame, entities: list[str], scorer) -> DataFrame:
+def mine_and_score_entities(
+    sentences: DataFrame, entities: list[str], scorer, lean: bool = False
+) -> DataFrame:
     """T7 + M1 fused into ONE mapInPandas: instances are mined and scored in
     the same Python pass, so the instance table crosses the Arrow boundary
     once (the unfused mine -> score chain pays a round trip per operator).
-    Same rows as score_entity_instances(mine_entity_instances(...))."""
+    Same rows as score_entity_instances(mine_entity_instances(...)).
+
+    ``lean=True`` is the pipeline's aggregate feed: mapInPandas is a column-
+    pruning barrier for Catalyst, so the Arrow transfer is pruned by hand —
+    only `tokens` crosses into Python and only (entity, prob) crosses back
+    (the downstream mean-prob groupBy needs nothing else). `masked_tokens`
+    (the whole sentence re-serialized per instance) and the id columns never
+    leave the Python worker; measured, this is most of the stage's Arrow
+    bytes."""
     import pandas as pd
 
     from llm_review_aggregation_spark import textproc as _tp
@@ -218,6 +228,22 @@ def mine_and_score_entities(sentences: DataFrame, entities: list[str], scorer) -
     ent_tokens = [(e, tuple(e.split(" "))) for e in entities]
     backend = _tp.current_backend()
     cols = ["url", "group_id", "sent_id", "masked_tokens", "entity_idx", "entity"]
+
+    if lean:
+        def gen_lean(batches):
+            _tp.install_backend(backend)
+            for pdf in batches:
+                rows = []
+                for toks in pdf["tokens"]:
+                    r = _tp.mine_entity_instance(list(toks), ent_tokens)
+                    if r is not None:
+                        masked, idx, ent = r
+                        rows.append((masked, idx, ent))
+                idf = pd.DataFrame(rows, columns=["masked_tokens", "entity_idx", "entity"])
+                idf["prob"] = scorer.score_entities(idf) if len(idf) else pd.Series(dtype="float64")
+                yield idf[["entity", "prob"]]
+
+        return sentences.select("tokens").mapInPandas(gen_lean, "entity string, prob double")
 
     def gen(batches):
         _tp.install_backend(backend)
@@ -278,14 +304,47 @@ def mine_relation_instances(sentences: DataFrame, concepts: list[str], syn_dict:
 
 
 def mine_and_score_relations(
-    sentences: DataFrame, concepts: list[str], syn_dict: dict[str, list[str]], scorer
+    sentences: DataFrame, concepts: list[str], syn_dict: dict[str, list[str]], scorer,
+    lean: bool = False,
 ) -> DataFrame:
     """T8 + M2 fused into ONE mapInPandas (same rationale as
     mine_and_score_entities): instances mined and direction-scored in one
-    Python pass. Same rows as score_relation_instances(mine_relation_instances(...))."""
+    Python pass. Same rows as score_relation_instances(mine_relation_instances(...)).
+
+    ``lean=True``: hand-pruned Arrow transfer for the pipeline's meronym
+    aggregate — `tokens` in, (fst_concept, snd_concept, forward_score,
+    backward_score) out; ids and masked_tokens stay inside the worker."""
     syn_tokens = {c: [tuple(s.split(" ")) for s in syns] for c, syns in syn_dict.items()}
     backend = tp.current_backend()
     cols = ["url", "group_id", "sent_id", "masked_tokens", "fst_idx", "snd_idx", "fst_concept", "snd_concept"]
+
+    if lean:
+        lean_cols = ["masked_tokens", "fst_idx", "snd_idx", "fst_concept", "snd_concept"]
+        out_cols = ["fst_concept", "snd_concept", "forward_score", "backward_score"]
+
+        def gen_lean(batches):
+            tp.install_backend(backend)
+            for pdf in batches:
+                rows = []
+                for toks in pdf["tokens"]:
+                    r = tp.mine_relation_instance(list(toks), concepts, syn_tokens)
+                    if r is not None:
+                        masked, (i1, i2), (c1, c2) = r
+                        rows.append((masked, i1, i2, c1, c2))
+                idf = pd.DataFrame(rows, columns=lean_cols)
+                if len(idf):
+                    scores = scorer.score_relations(idf)
+                    idf["forward_score"] = scores["forward_score"]
+                    idf["backward_score"] = scores["backward_score"]
+                else:
+                    idf["forward_score"] = pd.Series(dtype="float64")
+                    idf["backward_score"] = pd.Series(dtype="float64")
+                yield idf[out_cols]
+
+        return sentences.select("tokens").mapInPandas(
+            gen_lean,
+            "fst_concept string, snd_concept string, forward_score double, backward_score double",
+        )
 
     def gen(batches):
         tp.install_backend(backend)

@@ -32,7 +32,7 @@ def extract_aspects(
     cand_rows = candidates.select("term", "count").orderBy(F.desc("count"), F.asc("term")).collect()
     entities = [r["term"] for r in cand_rows]
 
-    scored = mining.mine_and_score_entities(sentences, entities, entity_scorer)
+    scored = mining.mine_and_score_entities(sentences, entities, entity_scorer, lean=True)
     mean_probs = scored.groupBy("entity").agg(F.avg("prob").alias("prob"))
 
     return (

@@ -34,7 +34,7 @@ def accumulate_meronym_scores(
     relation_scorer,
 ) -> DataFrame:
     """Returns (child, parent, score_sum, pair_count)."""
-    scored = mining.mine_and_score_relations(sentences, concepts, synsets, relation_scorer)
+    scored = mining.mine_and_score_relations(sentences, concepts, synsets, relation_scorer, lean=True)
     evidence = scored.select(
         F.explode(
             F.array(

@@ -137,15 +137,19 @@ def hyperplane_buckets(
 
 
 
-def ivf_centroids(corpus: DataFrame, vec_col: str, id_col: str, nlist: int) -> list[list[float]]:
+def ivf_centroids(
+    corpus: DataFrame, vec_col: str, id_col: str, nlist: int, salt: str = ""
+) -> list[list[float]]:
     """Deterministic coarse quantizer: the `nlist` corpus vectors with the
-    smallest md5(id) (a seeded uniform sample — IVF-flat needs spread, not
-    optimal k-means cells; sampled centroids are the standard cheap
-    initializer and keep the whole index build reproducible with zero
-    iterative driver loops). One small collect of nlist rows."""
+    smallest md5('ivf:' + salt + id) (a seeded uniform sample — IVF-flat
+    needs spread, not optimal k-means cells; sampled centroids are the
+    standard cheap initializer and keep the whole index build reproducible
+    with zero iterative driver loops). One small collect of nlist rows.
+    `salt` (e.g. "1:") draws an independent centroid sample per hash table
+    for the amplified near-dup join; "" reproduces the original sample."""
     rows = (
         corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-        .withColumn("_h", F.md5(F.concat(F.lit("ivf:"), F.col("id").cast("string"))))
+        .withColumn("_h", F.md5(F.concat(F.lit("ivf:" + salt), F.col("id").cast("string"))))
         .orderBy("_h")
         .limit(nlist)
         .collect()

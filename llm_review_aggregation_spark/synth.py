@@ -226,10 +226,13 @@ def pages_from_documents(spark, sf_dir: str, replicate: int = 1):
     # slots (on a cluster the crawl table has real file-level parallelism
     # and this is a no-op sizing choice).
     # one slot-sized partition per core for the small base corpus (5k docs:
-    # fewer, larger Arrow batches beat task-count overhead); two per core
-    # when replicating, so the Rx blow-up keeps all slots fed under skew
+    # fewer, larger Arrow batches beat task-count overhead); four per core
+    # when replicating — the Rx blow-up happens in place, so each task
+    # carries R partitions' worth of rows and with only 2 waves per core a
+    # single straggler task costs a whole extra wave; 4 waves keeps the
+    # per-task load fine-grained enough that the scheduler absorbs tails
     docs = docs.repartition(
-        max(2, spark.sparkContext.defaultParallelism * (2 if replicate > 1 else 1))
+        max(2, spark.sparkContext.defaultParallelism * (4 if replicate > 1 else 1))
     )
     if replicate > 1:
         # the Rx blow-up happens in place after the repartition: the
