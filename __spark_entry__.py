@@ -5,7 +5,9 @@
   triples) over pages derived from /root/testdata/sf0.001.
 - ``queries()``: one callable per implemented operator family
   (SURVEY.md §2 + the corpus ops), each (spark, sf_dir) -> DataFrame.
-  35 queries: 27 oracle-backed, 8 rows-only.
+  36 queries: 32 oracle-backed, 4 rows-only (kg_triples / kg_triples_pr /
+  kg_lineage / kg_judge_scores — pipeline/run-artifact semantics;
+  kg_triples_pr carries the north rule's triple P/R gate as data).
 - ``oracle_sql()``: DuckDB-equivalent SQL per query where the semantics are
   ANSI-SQL-expressible — including minhash_pairs / dedup_components (the
   LSH blocking is verified by true Jaccard, so the exact pair set is the
@@ -409,6 +411,55 @@ def _q_kg_triples(spark, sf_dir):
     return run_pipeline(spark, pages, _KG_CFG).triples.orderBy("pred", "subj", "obj")
 
 
+def _q_kg_triples_pr(spark, sf_dir):
+    """The north rule's triple P/R gate, surfaced as a driver query: the
+    Spark pipeline's (subj, pred, obj) set joined against the triples the
+    vendored loop-based oracle (tests/oracle/pipeline_oracle.py — the
+    reference dataflow re-run as plain Python over the identical page
+    bytes) emits for the same corpus. One row: (n_expected, n_got,
+    precision, recall) — 1.0/1.0 measured at sf0.001 and sf0.01 (the gate
+    is >= 0.95, tests/test_pipeline_differential.py:96). Rows-only by
+    design: the expected side is a full pipeline replay, not ANSI SQL."""
+    from tests.oracle import pipeline_oracle as oracle
+
+    from llm_review_aggregation_spark.functions import scoring
+
+    cfg = _KG_CFG
+    pages = synth.pages_from_documents(spark, sf_dir)
+    got = {
+        (r["subj"], r["pred"], r["obj"])
+        for r in run_pipeline(spark, pages, cfg).triples.collect()
+    }
+    ent, rel, sent = scoring.make_scorers(cfg.scorer, cfg.scorer_params)
+    docs = oracle.docs_from_pages(pages.toPandas())
+    sentences = oracle.sentences_from_docs(docs)
+    pairs = oracle.phrase_vocab(sentences, cfg.phrase_min_count, cfg.phrase_threshold)
+    cand = oracle.candidates(sentences, pairs, cfg.n_candidate_aspects)
+    asp = oracle.aspects(sentences, cand, ent, cfg.entity_prob_threshold)
+    top = sorted(asp.items(), key=lambda kv: (-kv[1][0], kv[0]))[: cfg.top_k_aspects_to_keep]
+    aspect_counts = {t: c for t, (c, _p) in top}
+    want: set[tuple[str, str, str]] = set()
+    if aspect_counts:
+        root = cfg.root_name or next(iter(aspect_counts))
+        synset_counts, synset_map = oracle.synsets(sentences, aspect_counts, root, cfg)
+        concepts_list = list(synset_counts)
+        sums, _c = oracle.meronym_scores(sentences, concepts_list, synset_map, rel)
+        edges = oracle.ontology_edges(concepts_list, synset_counts, sums, root)
+        glossary = {n: synset_map.get(n, [n]) for n in (set(edges) | set(edges.values()) | {root})}
+        args = oracle.arguments(
+            sentences, docs, edges, root, glossary, sent,
+            cfg.sentiment_threshold, cfg.phrase_max_words,
+        )
+        want = {(s, "partOf", o) for s, o in edges.items()}
+        for _, r in args.iterrows():
+            want.add((r["group_id"], "hasAspectOpinion", r["aspect"]))
+    tp = len(got & want)
+    return spark.createDataFrame(
+        [(len(want), len(got), tp / max(len(got), 1), tp / max(len(want), 1))],
+        "n_expected long, n_got long, precision double, recall double",
+    )
+
+
 def _q_minhash_pairs(spark, sf_dir):
     d = _load(spark, sf_dir, "documents")
     return (
@@ -611,6 +662,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "deterministic_sample": _q_deterministic_sample,
         # rows-only: UDF-backed / driver-graph / approximate / streaming
         "kg_triples": _q_kg_triples,
+        "kg_triples_pr": _q_kg_triples_pr,
         "minhash_pairs": _q_minhash_pairs,
         "simhash_pairs": _q_simhash_pairs,
         "lsh_ann_topk": _q_lsh_ann_topk,

@@ -363,9 +363,12 @@ def save_similarity_model(model: SimilarityModel, path: str) -> None:
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     # persist the exact cosine matrix and topn sums: cheap (n<=dictionary
     # size) and makes load byte-reproducible without refitting
+    # fixed-width unicode (dtype=str), NOT dtype=object: object arrays force
+    # allow_pickle=True on load, and unpickling a tampered artifact can run
+    # arbitrary code — <U strings round-trip with allow_pickle=False
     np.savez(
         path,
-        terms=np.array(model.terms, dtype=object),
+        terms=np.array(model.terms, dtype=str),
         cos=model.cos,
         topn_sum=model.topn_sum,
     )
@@ -376,7 +379,7 @@ def load_similarity_model(path: str) -> SimilarityModel:
     artifact (broadcast-safe — a few KB for a <=512-term dictionary)."""
     if not path.endswith(".npz"):
         path = path + ".npz"
-    data = np.load(path, allow_pickle=True)
+    data = np.load(path, allow_pickle=False)
     model = SimilarityModel.__new__(SimilarityModel)
     model.terms = [str(t) for t in data["terms"]]
     model.index = {t: i for i, t in enumerate(model.terms)}

@@ -229,9 +229,13 @@ class HFLLMClient:
         import torch
 
         tok, model = self._load()
-        processors = grammar_logits_processors(grammar, tok)
         out: list[str] = []
         for lo in range(0, len(prompts), self.batch_size):
+            # fresh constraint processor per generate() call: transformers-cfg
+            # processors carry per-batch parser state, so reusing one across
+            # chunks decodes later chunks against stale constraint state (the
+            # reference's hf_llm_wrapper builds it per single generate too)
+            processors = grammar_logits_processors(grammar, tok)
             chunk = prompts[lo : lo + self.batch_size]
             enc = tok(chunk, return_tensors="pt", padding=True, truncation=True)
             with torch.no_grad():

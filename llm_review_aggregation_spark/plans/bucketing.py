@@ -56,9 +56,17 @@ def read_table(spark: SparkSession, table: str) -> DataFrame:
 
 
 def plan_has_exchange(df: DataFrame) -> bool:
-    """True if the df's executed plan contains any shuffle Exchange —
+    """True if the df's executed plan contains a SHUFFLE Exchange —
     the assertion helper for co-location tests (EnsureRequirements inserts
     `Exchange hashpartitioning(...)` exactly when bucketing did NOT satisfy
-    the join's distribution requirement)."""
+    the join's distribution requirement). Matches the shuffle operator
+    specifically: a bare "Exchange" substring would also hit
+    BroadcastExchange, which is not a shuffle and is exactly what a
+    well-broadcast plan should contain."""
+    import re
+
     plan = df._jdf.queryExecution().executedPlan().toString()
-    return "Exchange" in plan
+    # a shuffle prints as "Exchange hashpartitioning(...)" / "Exchange
+    # rangepartitioning(...)" / "Exchange RoundRobinPartitioning(...)" /
+    # "Exchange SinglePartition"; a broadcast prints as "BroadcastExchange"
+    return bool(re.search(r"(?<!Broadcast)Exchange\s", plan))

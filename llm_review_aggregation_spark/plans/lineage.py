@@ -41,10 +41,19 @@ class StageStore:
         work_dir: str,
         table_format: str = "parquet",
         catalog: str = "spark_catalog",
+        bucket_spec: dict[str, tuple[str, int]] | None = None,
     ):
+        """`bucket_spec` maps a stage name to (key, n_buckets): that stage's
+        checkpoint is written hash-bucketed (and sorted) on the key, so every
+        downstream join/aggregate on it plans without an Exchange — one
+        shuffle at write time buys shuffle-free repeated consumption
+        (plans/bucketing.py holds the rationale). Parquet format only; the
+        bucket layout lives in the session catalog and is re-registered from
+        the on-disk files on resume in a fresh session."""
         self.spark = spark
         self.work_dir = work_dir
         self.catalog = catalog
+        self.bucket_spec = dict(bucket_spec or {})
         os.makedirs(work_dir, exist_ok=True)
         if table_format == "iceberg" and not self._iceberg_usable():
             warnings.warn(
@@ -76,17 +85,46 @@ class StageStore:
             return False
 
     # -- format chokepoints ---------------------------------------------------
+    def _bucket_table_name(self, stage: str) -> str:
+        return f"{self._namespace()}_{stage}"
+
     def _write_table(self, df: DataFrame, stage: str, kind: str = "table") -> None:
         if self.table_format == "iceberg":
             df.writeTo(self._table_ident(f"{kind}_{stage}")).using("iceberg").createOrReplace()
-        else:
-            path = self._table_path(stage) if kind == "table" else self._lineage_path(stage)
-            df.write.mode("overwrite").parquet(path)
+            return
+        path = self._table_path(stage) if kind == "table" else self._lineage_path(stage)
+        if kind == "table" and stage in self.bucket_spec:
+            key, n_buckets = self.bucket_spec[stage]
+            name = self._bucket_table_name(stage)
+            self.spark.sql(f"DROP TABLE IF EXISTS {name}")
+            (
+                df.write.mode("overwrite")
+                .option("path", path)
+                .bucketBy(n_buckets, key)
+                .sortBy(key)
+                .saveAsTable(name)
+            )
+            return
+        df.write.mode("overwrite").parquet(path)
 
     def _read_table(self, stage: str, kind: str = "table") -> DataFrame:
         if self.table_format == "iceberg":
             return self.spark.table(self._table_ident(f"{kind}_{stage}"))
         path = self._table_path(stage) if kind == "table" else self._lineage_path(stage)
+        if kind == "table" and stage in self.bucket_spec:
+            name = self._bucket_table_name(stage)
+            if not self.spark.catalog.tableExists(name):
+                # resume in a fresh session: the files on disk carry the
+                # bucket layout in their names; re-register the external
+                # table so Catalyst recovers outputPartitioning
+                key, n_buckets = self.bucket_spec[stage]
+                schema_ddl = self.spark.read.parquet(path).schema.toDDL()
+                self.spark.sql(
+                    f"CREATE TABLE {name} ({schema_ddl}) USING PARQUET "
+                    f"CLUSTERED BY ({key}) SORTED BY ({key}) INTO {n_buckets} BUCKETS "
+                    f"LOCATION '{path}'"
+                )
+            return self.spark.table(name)
         return self.spark.read.parquet(path)
 
     # -- paths ---------------------------------------------------------------
@@ -173,12 +211,27 @@ class StageStore:
             ]
             out = None
             for n in names:
-                t = self.spark.table(f"{ns}.{n}")
+                t = self._coerce_lineage_schema(self.spark.table(f"{ns}.{n}"))
                 out = t if out is None else out.unionByName(t)
             if out is not None:
                 return out
             return self.spark.createDataFrame([], LINEAGE_SCHEMA)
-        return self.spark.read.parquet(os.path.join(self.work_dir, "_lineage", "*"))
+        # explicit schema, not inference: work_dirs written before the
+        # schema gained duration_sec hold mixed-schema parquet, and the
+        # reader fills columns missing from a file with null instead of
+        # failing the rollup on whichever file inference sampled
+        return self.spark.read.schema(LINEAGE_SCHEMA).parquet(
+            os.path.join(self.work_dir, "_lineage", "*")
+        )
+
+    @staticmethod
+    def _coerce_lineage_schema(df: DataFrame) -> DataFrame:
+        """Back-compat for lineage tables written before duration_sec."""
+        if "duration_sec" not in df.columns:
+            df = df.withColumn("duration_sec", F.lit(None).cast("double"))
+        return df.select(
+            "stage", "partition_id", "output_rows", "checkpoint_ts", "status", "duration_sec"
+        )
 
     def metrics(self) -> DataFrame:
         """Per-stage run metrics rolled up from the per-partition lineage:
@@ -211,6 +264,36 @@ class StageStore:
                 ).alias("partition_skew"),
             )
         )
+
+
+def skew_advice(metrics_df: DataFrame, threshold: float = 4.0) -> list[dict]:
+    """Turn the per-stage `partition_skew` metric into an action: stages
+    whose max-partition/mean-partition row ratio exceeds `threshold` get a
+    flagged row naming the remediation entry point (operators/skew.py
+    salted_agg — two-stage salted pre-aggregation — or an explicit
+    repartition before the hot stage). Single-partition stages can't be
+    skewed by definition and tiny stages aren't worth salting, so both are
+    exempt. Returned as plain dicts so the CLI report can embed it."""
+    rows = metrics_df.filter(
+        (F.col("partition_skew") >= threshold)
+        & (F.col("n_partitions") > 1)
+        & (F.col("output_rows") >= 1000)
+    ).collect()
+    return [
+        {
+            "stage": r["stage"],
+            "partition_skew": r["partition_skew"],
+            "n_partitions": r["n_partitions"],
+            "output_rows": r["output_rows"],
+            "advice": (
+                "partition skew exceeds "
+                f"{threshold}x: pre-aggregate with a salted key "
+                "(llm_review_aggregation_spark.operators.skew.salted_agg) or "
+                "repartition on a finer key before this stage"
+            ),
+        }
+        for r in rows
+    ]
 
 
 class EphemeralStore:

@@ -50,9 +50,19 @@ def run_pipeline(
     cfg: PipelineConfig = DEFAULT_CONFIG,
     work_dir: str | None = None,
     resume: bool = True,
+    bucket_triples: int | None = None,
 ) -> PipelineResult:
+    """``bucket_triples=N`` writes the triples checkpoint hash-bucketed (and
+    sorted) on `subj` into N buckets (requires work_dir, parquet format):
+    the graph table's hot consumers — per-subject rollups, subj-keyed
+    self-joins, triples x entity-attribute joins — then plan WITHOUT an
+    Exchange on the triples side (asserted in tests/test_bucketing.py).
+    One shuffle at materialize time buys shuffle-free repeated reads; the
+    reference's analog is the Postgres index its join queries lean on
+    (db/manager.py:321-326)."""
+    bucket_spec = {"triples": ("subj", bucket_triples)} if bucket_triples else None
     store = (
-        StageStore(spark, work_dir, table_format=cfg.table_format)
+        StageStore(spark, work_dir, table_format=cfg.table_format, bucket_spec=bucket_spec)
         if work_dir
         else EphemeralStore(spark)
     )

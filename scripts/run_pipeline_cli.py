@@ -44,7 +44,15 @@ def main() -> None:
         "--tokenizer", default=None, choices=["simple", "nltk"],
         help="tokenizer backend (nltk needs nltk + model data on all nodes)",
     )
+    ap.add_argument(
+        "--bucket-triples", type=int, default=None, metavar="N",
+        help="write the triples checkpoint hash-bucketed on subj into N "
+        "buckets (needs --work-dir): downstream subj-keyed joins/rollups "
+        "plan without an Exchange",
+    )
     args = ap.parse_args()
+    if args.bucket_triples and not args.work_dir:
+        ap.error("--bucket-triples requires --work-dir")
 
     # Imports resolved from the --py-files zip on executors and driver alike.
     from llm_review_aggregation_spark import synth
@@ -82,7 +90,9 @@ def main() -> None:
         tp.set_tokenizer_backend(args.tokenizer)
 
     t0 = time.monotonic()
-    result = run_pipeline(spark, pages, cfg, work_dir=args.work_dir)
+    result = run_pipeline(
+        spark, pages, cfg, work_dir=args.work_dir, bucket_triples=args.bucket_triples
+    )
     if args.out:
         # graph tables are partitioned by predicate: queries overwhelmingly
         # filter on edge type first, and partition pruning then skips whole
@@ -104,11 +114,17 @@ def main() -> None:
         # per-stage run metrics from the checkpoint lineage: wall time,
         # throughput, partition skew (StageStore.metrics) — the numbers an
         # operator reads off a 1000-executor run to find the stage to salt
-        from llm_review_aggregation_spark.plans.lineage import StageStore
+        from llm_review_aggregation_spark.plans.lineage import StageStore, skew_advice
 
-        report["stages"] = [
-            row.asDict() for row in StageStore(spark, args.work_dir).metrics().orderBy("stage").collect()
-        ]
+        metrics = StageStore(spark, args.work_dir).metrics()
+        report["stages"] = [row.asDict() for row in metrics.orderBy("stage").collect()]
+        # skew metric -> action: name the stage to salt before the next
+        # scale-up (operators/skew.salted_agg is the remediation entry point)
+        advice = skew_advice(metrics)
+        if advice:
+            report["skew_advice"] = advice
+            for a in advice:
+                print(f"WARNING: stage {a['stage']}: {a['advice']}", file=sys.stderr)
     print(json.dumps(report))
     spark.stop()
 

@@ -76,6 +76,72 @@ class TestBucketedJoin:
         assert got == want and len(got) == 2000
 
 
+class TestPipelineBucketedTriples:
+    """run_pipeline(bucket_triples=N) must make the triples checkpoint a
+    bucketed layout: subj-keyed rollups and self-joins over it plan with NO
+    shuffle Exchange, results identical to the unbucketed run."""
+
+    @pytest.fixture(scope="class")
+    def bucketed_run(self, spark, tmp_path_factory):
+        from llm_review_aggregation_spark import synth
+        from llm_review_aggregation_spark.config import PipelineConfig
+        from llm_review_aggregation_spark.plans.pipeline import run_pipeline
+
+        wd = str(tmp_path_factory.mktemp("kg_bucketed"))
+        pages = synth.synthesize_pages(spark, n_groups=3, docs_per_group=12)
+        res = run_pipeline(
+            spark, pages, PipelineConfig(root_name="camera"), work_dir=wd, bucket_triples=4
+        )
+        yield res, wd, pages
+
+    def test_subj_rollup_has_no_exchange(self, spark, bucketed_run):
+        res, _, _ = bucketed_run
+        with _no_aqe_no_broadcast(spark):
+            agg = res.triples.groupBy("subj").agg(F.sum("score").alias("s"))
+            agg.collect()
+            assert not bucketing.plan_has_exchange(agg), (
+                agg._jdf.queryExecution().executedPlan().toString()
+            )
+
+    def test_subj_self_join_has_no_exchange_on_triples(self, spark, bucketed_run):
+        res, _, _ = bucketed_run
+        with _no_aqe_no_broadcast(spark):
+            a = res.triples.select(F.col("subj"), F.col("obj").alias("obj_a"))
+            b = res.triples.select(F.col("subj"), F.col("score").alias("score_b"))
+            joined = a.join(b, "subj")
+            joined.collect()
+            assert not bucketing.plan_has_exchange(joined), (
+                joined._jdf.queryExecution().executedPlan().toString()
+            )
+
+    def test_results_match_unbucketed(self, spark, bucketed_run, tmp_path):
+        from llm_review_aggregation_spark.config import PipelineConfig
+        from llm_review_aggregation_spark.plans.pipeline import run_pipeline
+
+        res, _, pages = bucketed_run
+        plain = run_pipeline(
+            spark, pages, PipelineConfig(root_name="camera"), work_dir=str(tmp_path / "plain")
+        )
+        assert sorted(map(tuple, res.triples.collect())) == sorted(
+            map(tuple, plain.triples.collect())
+        )
+
+    def test_reregister_after_catalog_loss(self, spark, bucketed_run):
+        """Resume in a fresh session: the catalog entry is gone but the
+        bucket layout lives in the file names — _read_table re-registers the
+        external table and the rollup still plans Exchange-free."""
+        from llm_review_aggregation_spark.plans.lineage import StageStore
+
+        _, wd, _ = bucketed_run
+        store = StageStore(spark, wd, bucket_spec={"triples": ("subj", 4)})
+        spark.sql(f"DROP TABLE IF EXISTS {store._bucket_table_name('triples')}")
+        triples = store._read_table("triples")
+        with _no_aqe_no_broadcast(spark):
+            agg = triples.groupBy("subj").agg(F.count(F.lit(1)).alias("n"))
+            agg.collect()
+            assert not bucketing.plan_has_exchange(agg)
+
+
 class _no_aqe_no_broadcast:
     """Temporarily pin the planner so the assertions read a deterministic
     static plan: AQE off (it re-plans mid-query) and auto-broadcast off

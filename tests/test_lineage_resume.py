@@ -168,3 +168,45 @@ def test_iceberg_branch_selected_with_catalog_conf(spark, work_dir, monkeypatch)
     assert ident.startswith("spark_catalog.kg_") and ident.endswith(".table_docs")
     # _iceberg_usable is False on this session (no iceberg catalog impl)
     assert store._iceberg_usable() is False
+
+
+def test_lineage_backcompat_missing_duration(spark, work_dir):
+    """work_dirs written before the schema gained duration_sec must still
+    roll up: the explicit-schema read fills the missing column with null
+    instead of failing on mixed-schema parquet."""
+    old = spark.createDataFrame(
+        [("legacy", 0, 10, 1.0, "complete")],
+        "stage string, partition_id int, output_rows long, checkpoint_ts double, status string",
+    )
+    old.write.mode("overwrite").parquet(os.path.join(work_dir, "_lineage", "legacy"))
+    store = StageStore(spark, work_dir)
+    store.run_table("fresh", lambda: spark.range(7))  # new-schema rows alongside
+    lin = store.lineage()
+    assert set(lin.columns) == {
+        "stage", "partition_id", "output_rows", "checkpoint_ts", "status", "duration_sec"
+    }
+    rows = {r["stage"]: r for r in lin.collect()}
+    assert rows["legacy"]["duration_sec"] is None
+    assert rows["fresh"]["duration_sec"] is not None
+    mets = {r["stage"]: r for r in store.metrics().collect()}
+    assert mets["legacy"]["output_rows"] == 10  # rollup survives the null
+
+
+def test_skew_advice_fires_on_skew_not_uniform(spark):
+    """The skew metric must become an action: flagged on a lopsided stage,
+    silent on a uniform one (and on single-partition/tiny stages)."""
+    from llm_review_aggregation_spark.plans.lineage import skew_advice
+
+    mets = spark.createDataFrame(
+        [
+            ("hot", 8, 80_000, 12.0, 6666.7, 7.5),     # skewed -> flag
+            ("flat", 8, 80_000, 12.0, 6666.7, 1.1),    # uniform -> no flag
+            ("one_part", 1, 80_000, 12.0, 6666.7, 9.0),  # single partition -> exempt
+            ("tiny", 8, 64, 0.1, 640.0, 9.0),          # tiny stage -> exempt
+        ],
+        "stage string, n_partitions int, output_rows long, duration_sec double, "
+        "rows_per_sec double, partition_skew double",
+    )
+    advice = skew_advice(mets)
+    assert [a["stage"] for a in advice] == ["hot"]
+    assert "salted_agg" in advice[0]["advice"]
