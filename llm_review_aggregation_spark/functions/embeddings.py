@@ -210,15 +210,18 @@ def _fit_word2vec(
     epochs: int,
     seed: int,
     num_partitions: int,
+    corpus: DataFrame | None = None,
 ):
     """Fit Spark MLlib Word2Vec (distributed skip-gram) on the
-    phrase-merged token stream; returns the fitted model. numPartitions=1
-    keeps the fit deterministic for a fixed seed (the same caveat as
-    gensim workers>1, SURVEY §7 R3); raise it for throughput at corpus
-    scale and re-validate the synset threshold."""
+    phrase-merged token stream (or a caller-prepared `corpus` with a
+    `_toks` column); returns the fitted model. numPartitions=1 keeps the
+    fit deterministic for a fixed seed (the same caveat as gensim
+    workers>1, SURVEY §7 R3); raise it for throughput at corpus scale and
+    re-validate the synset threshold."""
     from pyspark.ml.feature import Word2Vec
 
-    corpus = sentences.select(merge_phrase_tokens(sentences, terms).alias("_toks"))
+    if corpus is None:
+        corpus = sentences.select(merge_phrase_tokens(sentences, terms).alias("_toks"))
     w2v = (
         Word2Vec()
         .setInputCol("_toks")
@@ -265,13 +268,45 @@ def build_word2vec_similarity_model(
 
 def _char_ngrams(word: str, n_min: int, n_max: int) -> list[str]:
     """FastText subword units: boundary-marked character n-grams of
-    <word> (fasttext_wrapper.py trains these jointly; here they index a
-    post-hoc composition table)."""
+    <word>."""
     marked = f"<{word}>"
     out = []
     for n in range(n_min, n_max + 1):
         out.extend(marked[i : i + n] for i in range(len(marked) - n + 1))
     return out
+
+
+def subword_corpus(
+    sentences: DataFrame, terms: list[str], ngram_min: int = 3, ngram_max: int = 6
+) -> DataFrame:
+    """The joint-subword training stream: the phrase-merged token stream
+    with every token followed inline by the boundary-marked char n-grams of
+    its '_'-separated word parts. Skip-gram over this stream trains n-gram
+    vectors IN CONTEXT — each gram co-occurs with its word's neighbors —
+    which is FastText's input side (center word represented by its grams
+    predicting context), rather than a post-hoc average of word vectors.
+    Phrase merging stays a JVM expression; the gram interleave runs in one
+    Arrow-batched mapInPandas (a 3-deep nested lambda column expression
+    miscompiles — higher-order-function variable capture — so the Python
+    pass is the correct tool here, same as the mining kernels)."""
+    import pandas as pd
+
+    toks = sentences.select(merge_phrase_tokens(sentences, terms).alias("_toks"))
+    nmin, nmax = ngram_min, ngram_max
+
+    def gen(batches):
+        for pdf in batches:
+            out = []
+            for ts in pdf["_toks"]:
+                stream: list[str] = []
+                for t in ts:
+                    stream.append(t)
+                    for w in t.split("_"):
+                        stream.extend(_char_ngrams(w, nmin, nmax))
+                out.append(stream)
+            yield pd.DataFrame({"_toks": out})
+
+    return toks.mapInPandas(gen, "_toks array<string>")
 
 
 def build_fasttext_similarity_model(
@@ -286,21 +321,37 @@ def build_fasttext_similarity_model(
     num_partitions: int = 1,
     ngram_min: int = 3,
     ngram_max: int = 6,
+    joint: bool = True,
 ) -> SimilarityModel:
     """M5 — FastText-style subword model (reference: gensim FastText
     skipgram size 100 window 5, concepts/fasttext_wrapper.py:34-67),
-    restated on public Spark API as a DOCUMENTED SUBSTITUTION: MLlib has
-    no FastText, so the word-level vectors come from the same distributed
-    skip-gram fit as M4, and FastText's subword composition (a word's
-    vector is built from its boundary-marked char n-grams) is applied
-    post-hoc — each n-gram's vector is the count-weighted mean of the
-    trained vectors of vocabulary words containing it (computed with one
-    distributed explode+groupBy over the model's vector table), and an
-    OUT-OF-VOCABULARY term's vector is the mean of its n-grams' vectors.
-    That preserves FastText's headline behavior the pipeline relies on —
-    morphological variants land near their stems and unseen terms still
-    embed — while training stays JVM-distributed. Joint n-gram training
-    is the (documented) fidelity gap."""
+    restated on public Spark API. MLlib has no FastText, so:
+
+    ``joint=True`` (default): the skip-gram fit runs over the SUBWORD
+    training stream (`subword_corpus` — every token followed inline by
+    its boundary-marked char n-grams), so n-gram vectors are TRAINED in
+    the context of their words' neighbors — gensim FastText's actual
+    behavior on the input side. A term's vector is then the mean of its
+    trained word vector (when in-vocab) and its trained n-gram vectors;
+    OOV terms compose from trained n-grams alone. The word-level window
+    is scaled by the mean stream tokens per word so the effective
+    word-context width stays comparable to the un-augmented fit. The
+    remaining (documented) gap vs gensim: word vectors are trained as
+    their own tokens rather than constrained to equal their n-gram sum
+    during SGD. Update cost per center word is ~(1 + grams) vector
+    updates — the same order as real FastText, which also updates every
+    n-gram of the center word.
+
+    ``joint=False``: the round-3 post-hoc substitution — word-level fit
+    (identical to M4), n-gram vectors synthesized afterwards as the mean
+    of trained vectors of vocabulary words containing them; OOV terms
+    compose from those. Cheaper (no corpus blow-up), weaker OOV geometry.
+    """
+    if joint:
+        return _build_fasttext_joint(
+            sentences, terms, window, dim, topn, min_count, epochs, seed,
+            num_partitions, ngram_min, ngram_max,
+        )
     model = _fit_word2vec(sentences, terms, window, dim, min_count, epochs, seed, num_partitions)
     keys = {_w2v_term_key(t): t for t in terms}
     vec_tbl = model.getVectors()
@@ -349,6 +400,64 @@ def build_fasttext_similarity_model(
     for i, t in enumerate(terms):
         if t in by_term:
             vecs[i] = by_term[t]
+    return SimilarityModel(terms, vecs, topn=topn)
+
+
+def _build_fasttext_joint(
+    sentences: DataFrame,
+    terms: list[str],
+    window: int,
+    dim: int,
+    topn: int,
+    min_count: int,
+    epochs: int,
+    seed: int,
+    num_partitions: int,
+    ngram_min: int,
+    ngram_max: int,
+) -> SimilarityModel:
+    """Joint-subword FastText fit (see build_fasttext_similarity_model)."""
+    # the training window counts STREAM tokens; each word occupies
+    # ~(1 + grams) stream slots, so scale the word window to keep the
+    # word-level context width comparable (estimated from the dictionary —
+    # deterministic, no extra corpus pass)
+    per_word = [
+        1 + len(_char_ngrams(w, ngram_min, ngram_max))
+        for t in terms
+        for w in _w2v_term_key(t).split("_")
+    ] or [1]
+    stream_window = max(window, int(round(window * sum(per_word) / len(per_word))))
+    corpus = subword_corpus(sentences, terms, ngram_min, ngram_max)
+    model = _fit_word2vec(
+        sentences, terms, stream_window, dim, min_count, epochs, seed,
+        num_partitions, corpus=corpus,
+    )
+    keys = {_w2v_term_key(t): t for t in terms}
+    wanted = sorted(
+        set(keys)
+        | {
+            g
+            for t in terms
+            for w in _w2v_term_key(t).split("_")
+            for g in _char_ngrams(w, ngram_min, ngram_max)
+        }
+    )
+    spark = sentences.sparkSession
+    wanted_df = spark.createDataFrame([(w,) for w in wanted], "word string")
+    rows = model.getVectors().join(F.broadcast(wanted_df), "word").collect()
+    vec_of = {r["word"]: np.array(r["vector"].toArray()) for r in rows}
+    vecs = np.zeros((len(terms), dim))
+    for i, t in enumerate(terms):
+        key = _w2v_term_key(t)
+        parts = [vec_of[key]] if key in vec_of else []
+        parts += [
+            vec_of[g]
+            for w in key.split("_")
+            for g in _char_ngrams(w, ngram_min, ngram_max)
+            if g in vec_of
+        ]
+        if parts:
+            vecs[i] = np.mean(parts, axis=0)
     return SimilarityModel(terms, vecs, topn=topn)
 
 
