@@ -61,6 +61,42 @@ def segment_sentences(docs: DataFrame, carry_cols: tuple[str, ...] = ()) -> Data
     return docs.select("url", "group_id", "text", *carry).mapInPandas(gen, schema)
 
 
+def segment_pages(pages: DataFrame) -> DataFrame:
+    """E1+E2 fused: pages(url, html, ...) -> sentences(url, group_id,
+    sent_id, sentence, tokens) in ONE mapInPandas. Chaining
+    segment_sentences(extract_docs(pages)) plans as two MapInPandas
+    operators, and each is its own Python runner — the cleaned text crosses
+    the Arrow boundary four times (out of E1, back into E2, plus both input
+    sides). Cleaning and segmenting in the same Python pass crosses twice,
+    which matters because text bytes are the pipeline's dominant Arrow load
+    (PLANS.md round 4). Byte-identical semantics (same clean_text, same
+    group_id regex, same tokenizer backend) — differential-tested against
+    the unfused chain. Used by the pipeline when no work_dir is given; with
+    a work_dir the docs checkpoint already holds the cleaned text, so the
+    unfused path reuses it instead of re-cleaning."""
+    import re as _re
+
+    backend = tp.current_backend()
+    gid_re = _re.compile(r"^[a-z]+://[^/]+/([^/]+)/")
+
+    def gen(batches):
+        tp.install_backend(backend)
+        for pdf in batches:
+            rows = []
+            for url, html in zip(pdf["url"], pdf["html"]):
+                m = gid_re.search(url or "")
+                gid = m.group(1) if m else ""
+                text = tp.clean_text(html)
+                for sid, raw in enumerate(tp.sent_tokenize(text or "")):
+                    s = tp.filter_underscore(raw)
+                    rows.append((url, gid, sid, s, tp.word_tokenize(s)))
+            yield pd.DataFrame(
+                rows, columns=["url", "group_id", "sent_id", "sentence", "tokens"]
+            )
+
+    return pages.select("url", "html").mapInPandas(gen, _SENT_SCHEMA)
+
+
 def segment_phrases(sentences: DataFrame, max_words: float) -> DataFrame:
     """sentences -> phrases(url, group_id, sent_id, phrase_id, phrase, tokens).
 

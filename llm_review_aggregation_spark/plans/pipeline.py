@@ -70,7 +70,15 @@ def run_pipeline(
 
     # E1/E2 ---------------------------------------------------------------
     docs = store.run_table("docs", lambda: cleaning.extract_docs(pages), resume)
-    sentences = store.run_table("sentences", lambda: tokenize.segment_sentences(docs), resume)
+    # Ephemeral (no work_dir): E1+E2 run FUSED straight from pages — the
+    # cleaned text crosses the Arrow boundary once instead of chaining two
+    # Python runners (tokenize.segment_pages; byte-identical semantics,
+    # differential-tested). With a work_dir the docs checkpoint already
+    # holds the cleaned text, so segmenting reads it instead of re-cleaning.
+    if work_dir:
+        sentences = store.run_table("sentences", lambda: tokenize.segment_sentences(docs), resume)
+    else:
+        sentences = store.run_table("sentences", lambda: tokenize.segment_pages(pages), resume)
     sentences.cache()
 
     # E3 --------------------------------------------------------------------
