@@ -233,8 +233,14 @@ def main() -> None:
             return ys[mid] if len(ys) % 2 else (ys[mid - 1] + ys[mid]) / 2
 
         sc_docs = sc_triples = 0
-        for _ in range(n_legs):
-            for c in (n_big, n_small):
+        for leg_i in range(n_legs):
+            # ABBA ordering: alternate (4N, N) / (N, 4N) per pair so a
+            # linear host-throughput drift biases successive pair ratios in
+            # OPPOSITE directions and cancels in the median (run-1 evidence:
+            # the 4N legs drifted 135 -> 190s across an hour while N legs
+            # stayed flat, dragging a one-directional pairing's median)
+            order = (n_big, n_small) if leg_i % 2 == 0 else (n_small, n_big)
+            for c in order:
                 res = _run_leg(c)
                 if res is None:  # timed-out / failed leg: skip the sample,
                     continue     # remaining legs still complete

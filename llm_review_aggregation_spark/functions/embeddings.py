@@ -47,22 +47,32 @@ def cooccurrence_counts(sentences: DataFrame, terms: list[str], window: int, dim
     term_tokens = [(t, tuple(t.split(" "))) for t in terms]
 
     def gen(batches):
+        # first-token index (a position can only start a match whose first
+        # word is at it) + per-worker md5-bucket memo (bounded by the live
+        # vocabulary; saves one md5 per context-token OCCURRENCE)
+        idx: dict[str, list] = {}
+        for term, tt in term_tokens:
+            idx.setdefault(tt[0], []).append((term, list(tt), len(tt)))
+        bucket_of: dict[str, int] = {}
         for pdf in batches:
             out: dict[tuple[str, int], int] = {}
             for toks in pdf["tokens"]:
                 toks = list(toks)
                 n = len(toks)
-                for term, tt in term_tokens:
-                    L = len(tt)
-                    for i in range(n - L + 1):
-                        if tuple(toks[i : i + L]) != tt:
+                for i, tok in enumerate(toks):
+                    for term, tt, L in idx.get(tok, ()):
+                        if L > 1 and toks[i : i + L] != tt:
                             continue
                         lo = max(0, i - window)
                         hi = min(n, i + L + window)
                         for j in range(lo, hi):
                             if i <= j < i + L:
                                 continue
-                            key = (term, _bucket(toks[j], dim))
+                            w = toks[j]
+                            b = bucket_of.get(w)
+                            if b is None:
+                                b = bucket_of[w] = _bucket(w, dim)
+                            key = (term, b)
                             out[key] = out.get(key, 0) + 1
             yield pd.DataFrame(
                 [(t, b, c) for (t, b), c in out.items()],

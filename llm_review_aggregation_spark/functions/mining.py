@@ -131,6 +131,11 @@ def build_phrase_vocab(
     """
     tok = sentences.select("tokens")
     pairs1 = set(_scored_pairs(tok, min_count, threshold, max_vocab))
+    if not pairs1:
+        # exact short-circuit: applying an EMPTY phrase table is the
+        # identity merge, so pass 2 would recount the identical corpus and
+        # return the identical (empty) table — skip the second corpus pass
+        return pairs1
     # pass 2 applies the pass-1 table inside the fused counting kernel —
     # the merged corpus is never materialized (no cache, no extra scan)
     return set(_scored_pairs(tok, min_count, threshold, max_vocab, merge_pairs=pairs1))
@@ -150,9 +155,10 @@ def make_noun_terms_udf(pairs: set[tuple[str, str]]):
 
         def go(ts):
             ts = list(ts)
+            tags = tp.pos_tag(ts)  # one tagging pass shared by T4 and T5
             merged = tp.apply_phrases(ts, pairs)
-            ngrams = tp.pos_filtered_ngrams(ts, merged)
-            return tp.noun_terms(ts, ngrams)
+            ngrams = tp.pos_filtered_ngrams(ts, merged, tags=tags)
+            return tp.noun_terms(ts, ngrams, tags=tags)
 
         return tokens.map(go)
 
@@ -192,10 +198,11 @@ def mine_entity_instances(sentences: DataFrame, entities: list[str]) -> DataFram
 
     def gen(batches):
         tp.install_backend(backend)
+        ent_index = tp.build_mention_index(ent_tokens)
         for pdf in batches:
             rows = []
             for url, gid, sid, toks in zip(pdf["url"], pdf["group_id"], pdf["sent_id"], pdf["tokens"]):
-                r = tp.mine_entity_instance(list(toks), ent_tokens)
+                r = tp.mine_entity_instance(list(toks), ent_tokens, index=ent_index)
                 if r is not None:
                     masked, idx, ent = r
                     rows.append((url, gid, sid, masked, idx, ent))
@@ -232,10 +239,11 @@ def mine_and_score_entities(
     if lean:
         def gen_lean(batches):
             _tp.install_backend(backend)
+            ent_index = _tp.build_mention_index(ent_tokens)
             for pdf in batches:
                 rows = []
                 for toks in pdf["tokens"]:
-                    r = _tp.mine_entity_instance(list(toks), ent_tokens)
+                    r = _tp.mine_entity_instance(list(toks), ent_tokens, index=ent_index)
                     if r is not None:
                         masked, idx, ent = r
                         rows.append((masked, idx, ent))
@@ -247,10 +255,11 @@ def mine_and_score_entities(
 
     def gen(batches):
         _tp.install_backend(backend)
+        ent_index = _tp.build_mention_index(ent_tokens)
         for pdf in batches:
             rows = []
             for url, gid, sid, toks in zip(pdf["url"], pdf["group_id"], pdf["sent_id"], pdf["tokens"]):
-                r = _tp.mine_entity_instance(list(toks), ent_tokens)
+                r = _tp.mine_entity_instance(list(toks), ent_tokens, index=ent_index)
                 if r is not None:
                     masked, idx, ent = r
                     rows.append((url, gid, sid, masked, idx, ent))
@@ -279,10 +288,11 @@ def mine_relation_instances(sentences: DataFrame, concepts: list[str], syn_dict:
 
     def gen(batches):
         tp.install_backend(backend)
+        idx = tp.build_relation_index(concepts, syn_tokens)
         for pdf in batches:
             rows = []
             for url, gid, sid, toks in zip(pdf["url"], pdf["group_id"], pdf["sent_id"], pdf["tokens"]):
-                r = tp.mine_relation_instance(list(toks), concepts, syn_tokens)
+                r = tp.mine_relation_instance(list(toks), concepts, syn_tokens, index=idx)
                 if r is not None:
                     masked, (i1, i2), (c1, c2) = r
                     rows.append((url, gid, sid, masked, i1, i2, c1, c2))
@@ -324,10 +334,11 @@ def mine_and_score_relations(
 
         def gen_lean(batches):
             tp.install_backend(backend)
+            idx = tp.build_relation_index(concepts, syn_tokens)
             for pdf in batches:
                 rows = []
                 for toks in pdf["tokens"]:
-                    r = tp.mine_relation_instance(list(toks), concepts, syn_tokens)
+                    r = tp.mine_relation_instance(list(toks), concepts, syn_tokens, index=idx)
                     if r is not None:
                         masked, (i1, i2), (c1, c2) = r
                         rows.append((masked, i1, i2, c1, c2))
@@ -348,10 +359,11 @@ def mine_and_score_relations(
 
     def gen(batches):
         tp.install_backend(backend)
+        idx = tp.build_relation_index(concepts, syn_tokens)
         for pdf in batches:
             rows = []
             for url, gid, sid, toks in zip(pdf["url"], pdf["group_id"], pdf["sent_id"], pdf["tokens"]):
-                r = tp.mine_relation_instance(list(toks), concepts, syn_tokens)
+                r = tp.mine_relation_instance(list(toks), concepts, syn_tokens, index=idx)
                 if r is not None:
                     masked, (i1, i2), (c1, c2) = r
                     rows.append((url, gid, sid, masked, i1, i2, c1, c2))

@@ -146,11 +146,18 @@ class TokenizerBackend:
     sent_tokenize: Callable[[str], list[str]]
     word_tokenize: Callable[[str], list[str]]
     pos_tag: Callable[[list[str]], list[str]]  # -> one Penn-style tag per token
+    # True iff pos_tag tags each token independently of its neighbors: the
+    # mining hot loops then tag ONLY the mention pseudo-token instead of the
+    # whole sentence (identical result by definition; measured ~25% of the
+    # relation-mining kernel). Context-sensitive taggers (NLTK) keep the
+    # full-sentence call.
+    pos_context_free: bool = False
 
 
 def _simple_backend() -> "TokenizerBackend":
     return TokenizerBackend(
-        "simple", _sent_tokenize_simple, _word_tokenize_simple, lambda toks: pos_tag_simple(toks)
+        "simple", _sent_tokenize_simple, _word_tokenize_simple,
+        lambda toks: pos_tag_simple(toks), pos_context_free=True,
     )
 
 
@@ -280,35 +287,50 @@ _PUNCT_RE = re.compile(r"^[^\w\s]+$")
 
 def pos_tag_simple(tokens: list[str]) -> list[str]:
     """Deterministic rule-based tagger. Defaults to NN — the same bias the
-    pipeline relies on (noun terms are the candidate surface)."""
+    pipeline relies on (noun terms are the candidate surface). The rules
+    are PER-TOKEN pure functions, so tags are memoized per worker (bounded:
+    the cache clears past 64k distinct tokens) — on templated/bounded-
+    vocabulary corpora tagging degenerates to dict lookups."""
     tags: list[str] = []
+    cache = _TAG_CACHE
     for tok in tokens:
-        t = tok.lower()
-        if _PUNCT_RE.match(tok):
-            tags.append(".")
-        elif t in _DETERMINERS:
-            tags.append("DT")
-        elif t in _PREPOSITIONS:
-            tags.append("IN")
-        elif t in _PRONOUNS:
-            tags.append("PRP")
-        elif t in _CONJUNCTIONS:
-            tags.append("CC")
-        elif t in _AUX_VERBS or t in _COMMON_VERBS:
-            tags.append("VB")
-        elif t in _COMMON_ADJECTIVES or t.endswith(_ADJ_SUFFIXES):
-            tags.append("JJ")
-        elif t in _ADVERBS or (t.endswith("ly") and len(t) > 3):
-            tags.append("RB")
-        elif t[0].isdigit():
-            tags.append("CD")
-        elif t in STOPWORDS:
-            tags.append("DT")
-        elif t.endswith(_VERB_SUFFIXES) and len(t) > 4:
-            tags.append("VBG")
-        else:
-            tags.append("NN")
+        tag = cache.get(tok)
+        if tag is None:
+            if len(cache) >= 65536:
+                cache.clear()
+            tag = cache[tok] = _tag_one_simple(tok)
+        tags.append(tag)
     return tags
+
+
+_TAG_CACHE: dict[str, str] = {}
+
+
+def _tag_one_simple(tok: str) -> str:
+    t = tok.lower()
+    if _PUNCT_RE.match(tok):
+        return "."
+    if t in _DETERMINERS:
+        return "DT"
+    if t in _PREPOSITIONS:
+        return "IN"
+    if t in _PRONOUNS:
+        return "PRP"
+    if t in _CONJUNCTIONS:
+        return "CC"
+    if t in _AUX_VERBS or t in _COMMON_VERBS:
+        return "VB"
+    if t in _COMMON_ADJECTIVES or t.endswith(_ADJ_SUFFIXES):
+        return "JJ"
+    if t in _ADVERBS or (t.endswith("ly") and len(t) > 3):
+        return "RB"
+    if t[0].isdigit():
+        return "CD"
+    if t in STOPWORDS:
+        return "DT"
+    if t.endswith(_VERB_SUFFIXES) and len(t) > 4:
+        return "VBG"
+    return "NN"
 
 
 def lemmatize_simple(term: str) -> str:
@@ -360,10 +382,12 @@ _ALNUM_RE = re.compile(r"^\w+$")
 _NN_JJ_RE = re.compile(r"NN|JJ")
 
 
-def pos_filtered_ngrams(tokens: list[str], merged: list[str]) -> list[str]:
+def pos_filtered_ngrams(tokens: list[str], merged: list[str], tags: list[str] | None = None) -> list[str]:
     """T4 (ontology_bert/helpers.py:160-202): split a multi-word gram back
-    into words unless every word tags NN/JJ; single words pass through."""
-    tags = pos_tag(tokens)
+    into words unless every word tags NN/JJ; single words pass through.
+    `tags` (optional) lets the caller share one pos_tag pass with
+    noun_terms — the two T4/T5 kernels tag the identical token list."""
+    tags = pos_tag(tokens) if tags is None else tags
     out: list[str] = []
     n = 0
     for term in merged:
@@ -380,11 +404,11 @@ def pos_filtered_ngrams(tokens: list[str], merged: list[str]) -> list[str]:
 _PUNCT_CHARS = set("!\"#$%&'()*+,-./:;<=>?@[\\]^_`{|}~")
 
 
-def noun_terms(tokens: list[str], ngrams: list[str]) -> list[str]:
+def noun_terms(tokens: list[str], ngrams: list[str], tags: list[str] | None = None) -> list[str]:
     """T5 (ontology_bert/helpers.py:205-264): keep n-grams containing a noun
     whose words are all valid (non-IN, alphanumeric); single words must be
-    nouns, non-stopword, len > 1."""
-    tags = pos_tag(tokens)
+    nouns, non-stopword, len > 1. `tags` as in pos_filtered_ngrams."""
+    tags = pos_tag(tokens) if tags is None else tags
 
     def is_noun(i: int) -> bool:
         w = tokens[i]
@@ -419,8 +443,37 @@ def _seq_match_at(tokens: list[str], i: int, ent_tokens: tuple[str, ...]) -> boo
     return tuple(tokens[i : i + L]) == ent_tokens
 
 
+def build_mention_index(entries):
+    """First-token index for the mining hot loops: [(payload, seq_tokens)]
+    -> {first_token: [(payload, seq_as_list, len)]} preserving the input
+    order among entries that share a first token. A position i can only
+    start a match whose sequence begins with tokens[i], so the per-position
+    scan collapses from |entries| tuple-slice comparisons to one dict
+    lookup (measured: most of the relation-mining kernel)."""
+    idx: dict[str, list] = {}
+    for payload, seq in entries:
+        seq = list(seq)
+        idx.setdefault(seq[0], []).append((payload, seq, len(seq)))
+    return idx
+
+
+def _mention_is_noun(tokens: list[str], s: int, e: int) -> bool:
+    """POS-filter for a mention span: tag the span's joined pseudo-token in
+    sentence context. Context-free backends (the default rule tagger) tag
+    each token independently, so tagging just the pseudo-token is identical
+    and skips re-tagging the rest of the sentence on every candidate."""
+    joined_tok = " ".join(tokens[s:e]) if e - s > 1 else tokens[s]
+    backend = current_backend()
+    if backend.pos_context_free:
+        return backend.pos_tag([joined_tok])[0].startswith("NN")
+    joined = tokens[:s] + [joined_tok] + tokens[e:]
+    return backend.pos_tag(joined)[s].startswith("NN")
+
+
 def mine_entity_instance(
-    tokens: list[str], entities: list[tuple[str, tuple[str, ...]]]
+    tokens: list[str],
+    entities: list[tuple[str, tuple[str, ...]]],
+    index: dict | None = None,
 ) -> tuple[list[str], int, str] | None:
     """T7 (helpers.py:10-157) at word granularity.
 
@@ -429,14 +482,21 @@ def mine_entity_instance(
     any second disjoint/crossing mention drops the sentence), the mention is
     a noun in context, then masks it.
 
+    `index` (optional) is build_mention_index(entities), prebuilt once per
+    Arrow batch loop by the fused miners; per-position candidates come out
+    of it in the original entity rank order (only entities whose first
+    token equals tokens[i] can match at i, so the skipped ones contribute
+    nothing and the scan order is preserved).
+
     Returns (masked_tokens, mask_idx, entity) or None.
     """
+    idx = index if index is not None else build_mention_index(entities)
     mention: tuple[tuple[int, int], str] | None = None
-    for i in range(len(tokens)):
-        for ent_str, ent_toks in entities:
-            if not _seq_match_at(tokens, i, ent_toks):
+    for i, tok in enumerate(tokens):
+        for ent_str, ent_list, L in idx.get(tok, ()):
+            if L > 1 and tokens[i : i + L] != ent_list:
                 continue
-            rng = (i, i + len(ent_toks))
+            rng = (i, i + L)
             if mention is not None:
                 (s, e), _ = mention
                 if rng[0] >= s and rng[1] <= e:
@@ -447,17 +507,30 @@ def mine_entity_instance(
     if mention is None:
         return None
     (s, e), ent = mention
-    joined = tokens[:s] + [" ".join(tokens[s:e])] + tokens[e:]
-    if not pos_tag(joined)[s].startswith("NN"):
+    if not _mention_is_noun(tokens, s, e):
         return None
     masked = tokens[:s] + ["[MASK]"] + tokens[e:]
     return masked, s, ent
+
+
+def build_relation_index(
+    concepts: list[str], syn_tokens: dict[str, list[tuple[str, ...]]]
+) -> dict:
+    """build_mention_index over every (concept_idx, synonym) pair — mention
+    collection below is order-free (a set), so only membership matters."""
+    entries = [
+        (ci, syn)
+        for ci, concept in enumerate(concepts)
+        for syn in syn_tokens.get(concept, ())
+    ]
+    return build_mention_index(entries)
 
 
 def mine_relation_instance(
     tokens: list[str],
     concepts: list[str],
     syn_tokens: dict[str, list[tuple[str, ...]]],
+    index: dict | None = None,
 ) -> tuple[list[str], list[int], list[str]] | None:
     """T8 (helpers.py:267-420) at word granularity.
 
@@ -466,14 +539,17 @@ def mine_relation_instance(
     of different concepts; masks both. Mention order pinned by span start
     (the reference iterates a set — nondeterministic; see SURVEY §7 R1).
 
+    `index` (optional) is build_relation_index(concepts, syn_tokens),
+    prebuilt once per Arrow batch loop by the fused miner.
+
     Returns (masked_tokens, [idx_fst, idx_snd], [concept_fst, concept_snd]).
     """
+    idx = index if index is not None else build_relation_index(concepts, syn_tokens)
     mentions: set[tuple[tuple[int, int], int]] = set()
-    for i in range(len(tokens)):
-        for ci, concept in enumerate(concepts):
-            for syn in syn_tokens.get(concept, ()):
-                if _seq_match_at(tokens, i, syn):
-                    mentions.add(((i, i + len(syn)), ci))
+    for i, tok in enumerate(tokens):
+        for ci, syn_list, L in idx.get(tok, ()):
+            if L == 1 or tokens[i : i + L] == syn_list:
+                mentions.add(((i, i + L), ci))
     if len(mentions) < 2:
         return None
     ms = sorted(mentions)
@@ -485,8 +561,7 @@ def mine_relation_instance(
     # noun filter: join each mention span into one pseudo-token, tag, keep NN
     kept: list[tuple[tuple[int, int], int]] = []
     for (s, e), ci in ms:
-        joined = tokens[:s] + [" ".join(tokens[s:e])] + tokens[e:]
-        if pos_tag(joined)[s].startswith("NN"):
+        if _mention_is_noun(tokens, s, e):
             kept.append(((s, e), ci))
     if len(kept) != 2 or kept[0][1] == kept[1][1]:
         return None
@@ -548,10 +623,13 @@ def match_glossary(
     Returns [(node, form, start, end)].
     """
     matches: list[tuple[str, str, int, int]] = []
-    pending = list(nodes_postorder)
+    tokset = set(tokens)  # O(1) first-word guard: a synonym whose first
+    pending = list(nodes_postorder)  # word is absent cannot match anywhere
     while pending:
         node = pending.pop(0)
         for syn in glossary.get(node, ()):
+            if syn and syn[0] not in tokset:
+                continue
             spans = matching_subsequences(syn, tokens)
             if spans:
                 form = " ".join(syn)
