@@ -75,8 +75,10 @@ def entry(spark: SparkSession) -> DataFrame:
     """Flagship: pages -> (subj, pred, obj, score) triples."""
     sf_dir = "/root/testdata/sf0.001"
     pages = synth.pages_from_documents(spark, sf_dir)
-    result = run_pipeline(spark, pages, _KG_CFG)
-    return result.triples
+    with run_pipeline(spark, pages, _KG_CFG) as result:
+        # materialize before release so the caller's collect doesn't
+        # recompute the pipeline against the now-uncached sentences
+        return result.triples.localCheckpoint(eager=True)
 
 
 # ---------------------------------------------------------------------------
@@ -408,28 +410,40 @@ def _q_topk_terms_per_source(spark, sf_dir):
 
 def _q_kg_triples(spark, sf_dir):
     pages = synth.pages_from_documents(spark, sf_dir)
-    return run_pipeline(spark, pages, _KG_CFG).triples.orderBy("pred", "subj", "obj")
+    with run_pipeline(spark, pages, _KG_CFG) as res:
+        return res.triples.orderBy("pred", "subj", "obj").localCheckpoint(eager=True)
 
 
 def _q_kg_triples_pr(spark, sf_dir):
     """The north rule's triple P/R gate, surfaced as a driver query: the
     Spark pipeline's (subj, pred, obj) set joined against the triples the
-    vendored loop-based oracle (tests/oracle/pipeline_oracle.py — the
-    reference dataflow re-run as plain Python over the identical page
-    bytes) emits for the same corpus. One row: (n_expected, n_got,
-    precision, recall) — 1.0/1.0 measured at sf0.001 and sf0.01 (the gate
-    is >= 0.95, tests/test_pipeline_differential.py:96). Rows-only by
-    design: the expected side is a full pipeline replay, not ANSI SQL."""
-    from tests.oracle import pipeline_oracle as oracle
+    vendored loop-based oracle (llm_review_aggregation_spark/oracle/
+    pipeline_oracle.py — the reference dataflow re-run as plain Python over
+    the identical page bytes) emits for the same corpus. One row:
+    (n_expected, n_got, precision, recall) — 1.0/1.0 measured at sf0.001
+    and sf0.01 (the gate is >= 0.95, tests/test_pipeline_differential.py).
+    Rows-only by design: the expected side is a full pipeline replay, not
+    ANSI SQL.
 
+    SCALE BOUND: the oracle replay is DRIVER-SIDE (pages.toPandas() + pure
+    Python loops) and exists only to measure the correctness gate at gate
+    scale (sf <= 0.01, a few thousand pages). A guard refuses larger
+    corpora rather than silently collecting them to the driver — at sf >=
+    0.1 use the distributed differential suite instead."""
     from llm_review_aggregation_spark.functions import scoring
+    from llm_review_aggregation_spark.oracle import pipeline_oracle as oracle
 
     cfg = _KG_CFG
     pages = synth.pages_from_documents(spark, sf_dir)
-    got = {
-        (r["subj"], r["pred"], r["obj"])
-        for r in run_pipeline(spark, pages, cfg).triples.collect()
-    }
+    n_pages = pages.count()
+    if n_pages > 10_000:
+        raise ValueError(
+            f"kg_triples_pr replays the corpus through a driver-side oracle "
+            f"and is gate-scale-only (<= 10k pages; got {n_pages}). Run it "
+            "at sf <= 0.01."
+        )
+    with run_pipeline(spark, pages, cfg) as res:
+        got = {(r["subj"], r["pred"], r["obj"]) for r in res.triples.collect()}
     ent, rel, sent = scoring.make_scorers(cfg.scorer, cfg.scorer_params)
     docs = oracle.docs_from_pages(pages.toPandas())
     sentences = oracle.sentences_from_docs(docs)
@@ -541,7 +555,7 @@ def _q_kg_lineage(spark, sf_dir):
 
     with tempfile.TemporaryDirectory() as tmp:
         pages = synth.pages_from_documents(spark, "/root/testdata/sf0.001")
-        run_pipeline(spark, pages, _KG_CFG, work_dir=tmp)
+        run_pipeline(spark, pages, _KG_CFG, work_dir=tmp).release()
         from llm_review_aggregation_spark.plans.lineage import StageStore
 
         lin = StageStore(spark, tmp).lineage()
@@ -574,9 +588,9 @@ def _q_kg_judge_scores(spark, sf_dir):
     from llm_review_aggregation_spark.functions import judge
     from llm_review_aggregation_spark.plans.lineage import StageStore
 
-    with tempfile.TemporaryDirectory() as tmp:
-        pages = synth.pages_from_documents(spark, "/root/testdata/sf0.001")
-        res = run_pipeline(spark, pages, _KG_CFG, work_dir=tmp)
+    with tempfile.TemporaryDirectory() as tmp, run_pipeline(
+        spark, synth.pages_from_documents(spark, "/root/testdata/sf0.001"), _KG_CFG, work_dir=tmp
+    ) as res:
         client = judge.FakeJudgeClient(
             aspect_terms=frozenset(_WEBTEXT_PARAMS["aspect_terms"]),
             meronyms=dict(_WEBTEXT_PARAMS["meronyms"]),

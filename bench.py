@@ -10,9 +10,28 @@ Also measures the BASELINE.json north-rule metric:
 - ``triples_per_sec`` — flagship KG pipeline (pages -> triples) end-to-end
   wall time over the sf documents corpus.
 - ``scaling`` — the same flagship job at two parallelism levels
-  (local[N] vs local[4N], default 8 vs 32) on the identical input;
-  ``efficiency = (t_N / t_4N) / 4`` (>= 0.8 target). Disable with
+  (local[N] vs local[4N], default 1 vs 4) on the identical input;
+  ``efficiency = speedup / 4`` (>= 0.8 target). Disable with
   SPARK_GRAFT_SCALING=0 for quick iteration.
+
+  Round-5 drift hardening (BASELINE.md "Scaling evidence" has the full
+  analysis): the sandbox host's throughput drifts up to 2x WITHIN one bench
+  run (BENCH_r04's 4N samples span 83-162s for identical legs), so the
+  headline ``speedup`` is now the MEDIAN OF PER-ADJACENT-PAIR RATIOS of
+  PROBE-NORMALIZED leg times:
+
+  - each leg subprocess runs a fixed alloc+copy calibration probe
+    (tools/membench.py's kernel) immediately BEFORE its Spark session
+    starts and immediately AFTER it stops — while the leg is idle, so the
+    probe index is comparable across parallelism levels — and reports the
+    geometric mean as its host-speed index;
+  - a leg's normalized time is ``sec * (idx / ref)`` with ``ref`` = the
+    pooled median index (the ref cancels in ratios; it only anchors the
+    reported normalized seconds);
+  - each ABBA pair contributes one ratio ``norm_sec_N / norm_sec_4N``
+    (adjacent-in-time legs see the most similar host), and the median over
+    pairs rejects pairs a transient hit. Ratio-of-raw-medians is still
+    reported as ``speedup_raw`` / ``efficiency_raw`` for transparency.
 
 The headline block runs TWICE in one session: the cold first pass is
 recorded under "unwarmed" (and printed as its own line), the second pass is
@@ -62,6 +81,45 @@ def _force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+# ---------------------------------------------------------------------------
+# host-speed calibration probe (scaling legs)
+# ---------------------------------------------------------------------------
+
+
+def _probe_worker(_arg) -> int:
+    """Fixed alloc+copy kernel (tools/membench.py): each iteration reads +
+    writes a fresh 100 MB array, the workload class (Arrow streams, shuffle,
+    Python object churn) that dominates the flagship's memory traffic and is
+    the first thing host co-activity steals."""
+    import numpy as np
+
+    a = np.arange(12_500_000)  # 100 MB
+    t0 = time.monotonic()
+    n = 0
+    while time.monotonic() - t0 < 1.5:
+        _b = a.copy()
+        n += 1
+    return n
+
+
+def _probe_index() -> dict:
+    """Host-speed index: aggregate alloc+copy GB/s at 1 and 4 workers,
+    combined as a geometric mean. Runs ~6s. Must be called while the leg is
+    otherwise idle (before SparkSession start / after stop) so indices are
+    comparable across parallelism levels — a mid-leg probe would measure the
+    leg's own contention, which differs by design between N and 4N."""
+    import math
+    import multiprocessing as mp
+
+    rates = {}
+    for k in (1, 4):
+        with mp.Pool(k) as p:
+            iters = p.map(_probe_worker, range(k))
+        rates[k] = sum(iters) * 0.2 / 1.5  # 0.1 GB read + 0.1 GB write per iter
+    idx = math.sqrt(rates[1] * rates[4])
+    return {"gbps_1": round(rates[1], 4), "gbps_4": round(rates[4], 4), "idx": round(idx, 4)}
+
+
 def _warmup(spark, pipeline: bool = False) -> None:
     """Pre-timing warmup for the scaling legs (the headline block warms
     itself: its cold first pass is recorded as the un-warmed line and doubles
@@ -79,7 +137,8 @@ def _warmup(spark, pipeline: bool = False) -> None:
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     if pipeline:
         pages = synth.synthesize_pages(spark, n_groups=2, docs_per_group=6)
-        run_pipeline(spark, pages, entrymod._KG_CFG).triples.count()
+        with run_pipeline(spark, pages, entrymod._KG_CFG) as res:
+            res.triples.count()
 
 
 def _flagship_secs(spark, sf_dir: str, replicate: int = 1) -> tuple[float, int, int]:
@@ -89,7 +148,9 @@ def _flagship_secs(spark, sf_dir: str, replicate: int = 1) -> tuple[float, int, 
     t0 = time.monotonic()
     result = run_pipeline(spark, pages, entrymod._KG_CFG)
     n_triples = result.triples.count()
-    return time.monotonic() - t0, n_docs, n_triples
+    sec = time.monotonic() - t0
+    result.release()  # repeated flagship calls in one session must not accumulate cache
+    return sec, n_docs, n_triples
 
 
 def _leg_main() -> None:
@@ -104,15 +165,21 @@ def _leg_main() -> None:
     cpus = int(os.environ["SPARK_GRAFT_LEG_CPUS"])
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     replicate = int(os.environ.get("SPARK_GRAFT_SCALING_REPLICATE", "48"))
+    probe_pre = _probe_index()
     spark = get_spark(app_name=f"bench-leg-{cpus}", cpus=cpus, shuffle_partitions=cpus)
     spark.sparkContext.setLogLevel("ERROR")
     _warmup(spark, pipeline=True)
     sec, n_docs, n_triples = _flagship_secs(spark, sf_dir, replicate=replicate)
     spark.stop()
-    print(json.dumps({"leg": {"cpus": cpus, "sec": sec, "n_docs": n_docs, "n_triples": n_triples}}))
+    probe_post = _probe_index()
+    idx = round((probe_pre["idx"] * probe_post["idx"]) ** 0.5, 4)
+    print(json.dumps({"leg": {
+        "cpus": cpus, "sec": sec, "n_docs": n_docs, "n_triples": n_triples,
+        "probe_pre": probe_pre, "probe_post": probe_post, "probe_idx": idx,
+    }}))
 
 
-def _run_leg(cpus: int) -> tuple[float, int, int] | None:
+def _run_leg(cpus: int) -> dict | None:
     """Run one scaling leg in a subprocess; None if it hung or died. A
     bounded timeout keeps a wedged Spark leg from stalling the whole bench —
     the progressive JSON printing only helps if control returns here."""
@@ -129,8 +196,7 @@ def _run_leg(cpus: int) -> tuple[float, int, int] | None:
         return None
     for line in reversed(proc.stdout.strip().splitlines()):
         try:
-            leg = json.loads(line)["leg"]
-            return leg["sec"], leg["n_docs"], leg["n_triples"]
+            return json.loads(line)["leg"]
         except (json.JSONDecodeError, KeyError):
             continue
     print(f"scaling leg (cpus={cpus}) produced no result; stderr tail: "
@@ -217,15 +283,14 @@ def main() -> None:
 
     if do_scaling:
         n_small = int(os.environ.get("SPARK_GRAFT_SCALING_N", "1"))
-        # median-of-5 (round 3 used 3): the host's +/-40% throughput drift is
-        # the dominant error source and burned the round-3 driver artifact
-        # (0.733 recorded vs 0.876/0.908/0.897 on three builder runs of the
-        # same code); two more interleaved pairs let the median reject two
-        # outlier legs per side, and the progressive JSON printing keeps an
-        # external timeout from losing the evidence gathered so far
-        n_legs = int(os.environ.get("SPARK_GRAFT_SCALING_LEGS", "5"))
+        # 7 ABBA pairs (round 4 used 5): with efficiency now the MEDIAN OF
+        # PER-PAIR RATIOS, 7 pairs tolerate 3 transient-contaminated pairs.
+        # Progressive JSON printing keeps an external timeout from losing
+        # the evidence gathered so far.
+        n_legs = int(os.environ.get("SPARK_GRAFT_SCALING_LEGS", "7"))
         n_big = 4 * n_small
-        samples: dict[int, list[float]] = {n_big: [], n_small: []}
+        samples: dict[int, list[dict]] = {n_big: [], n_small: []}
+        pairs: list[dict] = []  # completed (N, 4N) leg pairs, adjacent in time
 
         def _median(xs: list[float]) -> float:
             ys = sorted(xs)
@@ -240,33 +305,78 @@ def main() -> None:
             # the 4N legs drifted 135 -> 190s across an hour while N legs
             # stayed flat, dragging a one-directional pairing's median)
             order = (n_big, n_small) if leg_i % 2 == 0 else (n_small, n_big)
+            pair: dict[int, dict] = {}
             for c in order:
-                res = _run_leg(c)
-                if res is None:  # timed-out / failed leg: skip the sample,
+                leg = _run_leg(c)
+                if leg is None:  # timed-out / failed leg: skip the sample,
                     continue     # remaining legs still complete
-                sec, sc_docs, sc_triples = res
-                samples[c].append(sec)
+                samples[c].append(leg)
+                pair[c] = leg
+                sc_docs, sc_triples = leg["n_docs"], leg["n_triples"]
+            if n_small in pair and n_big in pair:
+                pairs.append(pair)
             if not (samples[n_small] and samples[n_big]):
                 continue
-            sec_n = _median(samples[n_small])
-            sec_4n = _median(samples[n_big])
-            speedup = sec_n / sec_4n
+
+            # raw medians (round-4 statistic, kept for transparency)
+            sec_n = _median([s["sec"] for s in samples[n_small]])
+            sec_4n = _median([s["sec"] for s in samples[n_big]])
+            speedup_raw = sec_n / sec_4n
+
+            # probe-normalized: ref = pooled median host-speed index (its
+            # value cancels in every ratio; it only anchors the reported
+            # normalized seconds), norm_sec = sec * idx / ref
+            all_idx = [s["probe_idx"] for s in samples[n_small] + samples[n_big]]
+            ref = _median(all_idx) or 1.0
+
+            def _norm(leg: dict) -> float:
+                return leg["sec"] * leg["probe_idx"] / ref
+
+            norm_n = [round(_norm(s), 3) for s in samples[n_small]]
+            norm_4n = [round(_norm(s), 3) for s in samples[n_big]]
+            # headline statistic: median of per-adjacent-pair normalized
+            # ratios — robust to inter-pair drift that a ratio-of-medians
+            # double-counts, and each ratio compares the two legs that saw
+            # the most similar host state
+            pair_ratios = [
+                round(_norm(p[n_small]) / _norm(p[n_big]), 3) for p in pairs
+            ]
+            speedup = _median(pair_ratios) if pair_ratios else speedup_raw
+            sec_n_norm = _median(norm_n)
+            sec_4n_norm = _median(norm_4n)
             out["scaling"] = {
                 "cpus_n": n_small,
                 "cpus_4n": n_big,
                 "replicate": replicate,
                 "legs": len(samples[n_small]),
+                "pairs": len(pairs),
                 "n_docs": sc_docs,
                 "sec_n": round(sec_n, 3),
                 "sec_4n": round(sec_4n, 3),
-                "sec_n_samples": [round(s, 3) for s in samples[n_small]],
-                "sec_4n_samples": [round(s, 3) for s in samples[n_big]],
-                "docs_per_sec_n": round(sc_docs / sec_n, 2),
-                "docs_per_sec_4n": round(sc_docs / sec_4n, 2),
-                "triples_per_sec_n": round(sc_triples / sec_n, 2),
-                "triples_per_sec_4n": round(sc_triples / sec_4n, 2),
+                "sec_n_samples": [round(s["sec"], 3) for s in samples[n_small]],
+                "sec_4n_samples": [round(s["sec"], 3) for s in samples[n_big]],
+                "probe_idx_n": [s["probe_idx"] for s in samples[n_small]],
+                "probe_idx_4n": [s["probe_idx"] for s in samples[n_big]],
+                "probe_ref": round(ref, 4),
+                "sec_n_norm": round(sec_n_norm, 3),
+                "sec_4n_norm": round(sec_4n_norm, 3),
+                "sec_n_norm_samples": norm_n,
+                "sec_4n_norm_samples": norm_4n,
+                "pair_ratios": pair_ratios,
+                "docs_per_sec_n": round(sc_docs / sec_n_norm, 2),
+                "docs_per_sec_4n": round(sc_docs / sec_4n_norm, 2),
+                "triples_per_sec_n": round(sc_triples / sec_n_norm, 2),
+                "triples_per_sec_4n": round(sc_triples / sec_4n_norm, 2),
+                "speedup_raw": round(speedup_raw, 3),
+                "efficiency_raw": round(speedup_raw / 4.0, 3),
                 "speedup": round(speedup, 3),
                 "efficiency": round(speedup / 4.0, 3),
+                "method": (
+                    "speedup = median over ABBA pairs of (probe-normalized "
+                    "sec_N / sec_4N); probe = idle-host alloc+copy index "
+                    "before+after each leg (geomean); *_raw = ratio of raw "
+                    "medians, the round-4 statistic"
+                ),
             }
             print(json.dumps(out), flush=True)
 

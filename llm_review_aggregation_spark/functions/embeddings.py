@@ -498,7 +498,24 @@ def load_similarity_model(path: str) -> SimilarityModel:
     artifact (broadcast-safe — a few KB for a <=512-term dictionary)."""
     if not path.endswith(".npz"):
         path = path + ".npz"
-    data = np.load(path, allow_pickle=False)
+    try:
+        data = np.load(path, allow_pickle=False)
+        data["terms"]  # object-dtype terms raise here, not at np.load
+    except ValueError as e:
+        if "pickle" not in str(e).lower():
+            raise
+        # artifacts written before the fixed-width-string format stored
+        # terms as dtype=object, which requires allow_pickle=True — a load
+        # path this module deliberately refuses (unpickling a tampered
+        # artifact can run arbitrary code). Point at the migration path
+        # instead of surfacing numpy's opaque error.
+        raise ValueError(
+            f"similarity-model artifact {path!r} predates the fixed-width "
+            "string format (terms stored as dtype=object, which would need "
+            "allow_pickle=True to read). Re-save it with "
+            "save_similarity_model() from a session that still has the "
+            "model, or refit; this loader never unpickles."
+        ) from e
     model = SimilarityModel.__new__(SimilarityModel)
     model.terms = [str(t) for t in data["terms"]]
     model.index = {t: i for i, t in enumerate(model.terms)}

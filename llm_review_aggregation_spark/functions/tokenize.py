@@ -85,7 +85,10 @@ def segment_pages(pages: DataFrame) -> DataFrame:
             rows = []
             for url, html in zip(pdf["url"], pdf["html"]):
                 m = gid_re.search(url or "")
-                gid = m.group(1) if m else ""
+                # null-url parity with the unfused path: regexp_extract is
+                # null-propagating (null url -> null group_id), while a
+                # non-null url that misses the pattern yields ""
+                gid = m.group(1) if m else (None if url is None else "")
                 text = tp.clean_text(html)
                 for sid, raw in enumerate(tp.sent_tokenize(text or "")):
                     s = tp.filter_underscore(raw)

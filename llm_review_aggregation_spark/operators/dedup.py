@@ -354,12 +354,19 @@ def ivf_candidate_pairs(
     if not (1 <= require <= tables):
         raise ValueError(f"require must be in [1, {tables}], got {require}")
     per_table = []
+    cached = []
     for t in range(tables):
         salt = "" if t == 0 else f"{t}:"  # table 0 = the original unsalted sample
         cents = simsearch.ivf_centroids(df, vec_col, id_col, nlist, salt=salt)
         # one scoring/ranking pass: home cell = rank 1 of the same ranking
-        # the probe set comes from
-        ranked = simsearch.ivf_assign_ranked(df, vec_col, id_col, cents, nprobe=nprobe)
+        # the probe set comes from. The probe and home sides below reference
+        # it as TWO subtrees, and Spark's exchange reuse does NOT fire here
+        # (verified: the 2-table executed plan shows 0 ReusedExchange and 2
+        # scoring joins per table) — so cache the skinny (id, cell, rk)
+        # table (n*nprobe rows, 3 ints) to run the n*nlist scoring pass
+        # once per table, not twice.
+        ranked = simsearch.ivf_assign_ranked(df, vec_col, id_col, cents, nprobe=nprobe).cache()
+        cached.append(ranked)
         p = ranked.select("cell", F.col("id").alias("a"))
         h = ranked.filter(F.col("rk") == 1).select("cell", F.col("id").alias("b"))
         per_table.append(
@@ -375,12 +382,21 @@ def ivf_candidate_pairs(
     votes = per_table[0]
     for part in per_table[1:]:
         votes = votes.unionByName(part)
-    return (
+    cand = (
         votes.groupBy("a", "b")
         .agg(F.count(F.lit(1)).alias("_nt"))
         .filter(F.col("_nt") >= require)
         .select("a", "b")
     )
+    try:
+        # materialize the skinny (a, b) candidate set now so the per-table
+        # caches can be released deterministically before returning (no
+        # cached blocks leak past this call); downstream verification then
+        # joins against this checkpointed set
+        return cand.localCheckpoint(eager=True)
+    finally:
+        for r in cached:
+            r.unpersist()
 
 
 def embedding_near_duplicates(

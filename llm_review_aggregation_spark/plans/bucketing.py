@@ -68,5 +68,10 @@ def plan_has_exchange(df: DataFrame) -> bool:
     plan = df._jdf.queryExecution().executedPlan().toString()
     # a shuffle prints as "Exchange hashpartitioning(...)" / "Exchange
     # rangepartitioning(...)" / "Exchange RoundRobinPartitioning(...)" /
-    # "Exchange SinglePartition"; a broadcast prints as "BroadcastExchange"
-    return bool(re.search(r"(?<!Broadcast)Exchange\s", plan))
+    # "Exchange SinglePartition"; a broadcast prints as "BroadcastExchange".
+    # "ReusedExchange" is excluded too: it never executes a shuffle itself —
+    # it re-reads another exchange's output, and when that target is a
+    # shuffle the original "Exchange ..." line is elsewhere in the same
+    # plan and matches on its own (so a broadcast-only plan with exchange
+    # reuse does not falsely report a shuffle).
+    return bool(re.search(r"(?<!Broadcast)(?<!Reused)Exchange\s", plan))

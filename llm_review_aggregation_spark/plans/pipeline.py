@@ -43,6 +43,26 @@ class PipelineResult:
     tree_edges: dict[str, str]
     synset_map: dict[str, list[str]]
 
+    def release(self) -> None:
+        """Unpersist the pipeline's cached intermediates (`sentences` feeds
+        7 downstream passes and is cached for the run's duration). Callers
+        that run pipelines repeatedly in one long-lived session — exactly
+        what `__spark_entry__.queries()` and bench.py do — must call this
+        (or use the result as a context manager) once they've materialized
+        what they need, or cached blocks accumulate across runs. Idempotent;
+        the result's DataFrames stay valid afterwards, they just recompute
+        instead of hitting the cache."""
+        lvl = self.sentences.storageLevel
+        if lvl.useMemory or lvl.useDisk:
+            self.sentences.unpersist()
+
+    def __enter__(self) -> "PipelineResult":
+        return self
+
+    def __exit__(self, *exc) -> bool:
+        self.release()
+        return False
+
 
 def run_pipeline(
     spark: SparkSession,

@@ -103,6 +103,7 @@ def main() -> None:
     else:
         n_triples = result.triples.count()
     elapsed = time.monotonic() - t0
+    result.release()  # drop the run-scoped sentences cache (session may outlive the run)
     report = {
         "n_triples": n_triples,
         "elapsed_sec": round(elapsed, 3),

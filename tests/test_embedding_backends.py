@@ -202,6 +202,20 @@ class TestModelArtifacts:
         loaded = embeddings.load_similarity_model(str(tmp_path / "m"))
         assert loaded.terms == m.terms
 
+    def test_pre_fixed_width_artifact_raises_clear_error(self, tmp_path):
+        """Artifacts written by the pre-round-4 format stored terms as
+        dtype=object; the pickle-free loader must explain the migration
+        path, not surface numpy's opaque allow_pickle ValueError."""
+        path = str(tmp_path / "old.npz")
+        np.savez(
+            path,
+            terms=np.array(["battery", "lens"], dtype=object),
+            cos=np.eye(2),
+            topn_sum=np.ones(2),
+        )
+        with pytest.raises(ValueError, match="re-save|Re-save"):
+            embeddings.load_similarity_model(path)
+
 
 class TestPipelineBackendSeam:
     def test_word2vec_backend_end_to_end(self, spark):

@@ -1,5 +1,5 @@
 """Differential test: Spark dataflow vs the independent loop-based oracle
-(tests/oracle/pipeline_oracle.py) on the deterministic synthetic corpus,
+(llm_review_aggregation_spark/oracle/pipeline_oracle.py) on the deterministic synthetic corpus,
 stage by stage, plus the P/R gate against the planted ground truth."""
 
 import pandas as pd
@@ -10,7 +10,7 @@ from llm_review_aggregation_spark.config import PipelineConfig
 from llm_review_aggregation_spark.functions import scoring
 from llm_review_aggregation_spark.plans.pipeline import run_pipeline
 
-from tests.oracle import pipeline_oracle as oracle
+from llm_review_aggregation_spark.oracle import pipeline_oracle as oracle
 
 CFG = PipelineConfig(root_name="camera")
 N_GROUPS, DOCS = 4, 18
@@ -104,6 +104,18 @@ def test_triple_precision_recall_vs_planted(spark_result):
     precision = tp_ / max(len(got), 1)
     recall = tp_ / len(planted)
     assert precision >= 0.95 and recall >= 0.95, (sorted(got), sorted(planted))
+
+
+def test_kg_triples_pr_scale_guard(spark, monkeypatch):
+    """The P/R query replays the corpus through the driver-side oracle and
+    must refuse beyond gate scale instead of silently toPandas-ing it."""
+    import __spark_entry__ as entrymod
+
+    monkeypatch.setattr(
+        entrymod.synth, "pages_from_documents", lambda s, d: s.range(10_001)
+    )
+    with pytest.raises(ValueError, match="gate-scale"):
+        entrymod._q_kg_triples_pr(spark, "ignored")
 
 
 def test_arguments_match_oracle(spark_result, oracle_result):

@@ -203,10 +203,42 @@ class TestTokenizerBackendSeam:
         assert len(swapped) == 3  # ';' split happened inside the executor UDF
         assert len(default) == 2
 
+    def test_fused_segment_null_url_parity(self, spark):
+        """ADVICE round-5: a null url must yield a NULL group_id from the
+        fused E1+E2 path exactly like the unfused regexp_extract (which is
+        null-propagating), and a non-matching non-null url must yield ""."""
+        from llm_review_aggregation_spark.functions import cleaning
+        from llm_review_aggregation_spark.functions import tokenize as tk
+
+        pages = spark.createDataFrame(
+            [
+                (None, "one sentence here."),
+                ("no-scheme-url", "another sentence."),
+                ("http://h/cam1/r1", "a third sentence."),
+            ],
+            "url string, html string",
+        )
+
+        def key(rows):
+            return sorted(
+                (
+                    (r["url"], r["group_id"], r["sent_id"], r["sentence"], tuple(r["tokens"]))
+                    for r in rows
+                ),
+                key=repr,  # None-safe ordering
+            )
+
+        fused = key(tk.segment_pages(pages).collect())
+        unfused = key(tk.segment_sentences(cleaning.extract_docs(pages)).collect())
+        assert fused == unfused
+        by_url = {u: g for (u, g, *_rest) in fused}
+        assert by_url[None] is None
+        assert by_url["no-scheme-url"] == ""
+
     def test_differential_holds_under_swap(self, spark, shouty_backend):
         from llm_review_aggregation_spark import synth
         from llm_review_aggregation_spark.functions import tokenize as tk
-        from tests.oracle import pipeline_oracle as oracle
+        from llm_review_aggregation_spark.oracle import pipeline_oracle as oracle
 
         pages = synth.synthesize_pages(spark, n_groups=2, docs_per_group=6)
         pages_pdf = synth.synthesize_pages_pdf(n_groups=2, docs_per_group=6)
