@@ -50,9 +50,17 @@ def main() -> None:
         "buckets (needs --work-dir): downstream subj-keyed joins/rollups "
         "plan without an Exchange",
     )
+    ap.add_argument(
+        "--auto-salt", action="store_true",
+        help="on resume, re-run stages the previous run's lineage flags as "
+        "skewed through their salted/rebalanced twin (see "
+        "run_pipeline(auto_salt=True)); requires --work-dir",
+    )
     args = ap.parse_args()
     if args.bucket_triples and not args.work_dir:
         ap.error("--bucket-triples requires --work-dir")
+    if args.auto_salt and not args.work_dir:
+        ap.error("--auto-salt requires --work-dir (it consults the lineage)")
 
     # Imports resolved from the --py-files zip on executors and driver alike.
     from llm_review_aggregation_spark import synth
@@ -91,7 +99,8 @@ def main() -> None:
 
     t0 = time.monotonic()
     result = run_pipeline(
-        spark, pages, cfg, work_dir=args.work_dir, bucket_triples=args.bucket_triples
+        spark, pages, cfg, work_dir=args.work_dir, bucket_triples=args.bucket_triples,
+        auto_salt=args.auto_salt,
     )
     if args.out:
         # graph tables are partitioned by predicate: queries overwhelmingly
