@@ -16,22 +16,18 @@ Also measures the BASELINE.json north-rule metric:
 
   Round-5 drift hardening (BASELINE.md "Scaling evidence" has the full
   analysis): the sandbox host's throughput drifts up to 2x WITHIN one bench
-  run (BENCH_r04's 4N samples span 83-162s for identical legs), so the
-  headline ``speedup`` is now the MEDIAN OF PER-ADJACENT-PAIR RATIOS of
-  PROBE-NORMALIZED leg times:
-
-  - each leg subprocess runs a fixed alloc+copy calibration probe
-    (tools/membench.py's kernel) immediately BEFORE its Spark session
-    starts and immediately AFTER it stops — while the leg is idle, so the
-    probe index is comparable across parallelism levels — and reports the
-    geometric mean as its host-speed index;
-  - a leg's normalized time is ``sec * (idx / ref)`` with ``ref`` = the
-    pooled median index (the ref cancels in ratios; it only anchors the
-    reported normalized seconds);
-  - each ABBA pair contributes one ratio ``norm_sec_N / norm_sec_4N``
-    (adjacent-in-time legs see the most similar host), and the median over
-    pairs rejects pairs a transient hit. Ratio-of-raw-medians is still
-    reported as ``speedup_raw`` / ``efficiency_raw`` for transparency.
+  run (BENCH_r04's 4N samples span 83-162s for identical legs), and that
+  interference is strictly ADDITIVE — a leg can only ever run slower than
+  the engine's uncontended time (same input, fresh JVM per leg, identical
+  warmup). So the headline ``speedup`` is BEST-OF-K: min(sec_N)/min(sec_4N)
+  over 7 ABBA leg pairs — the estimator Python's timeit documents for
+  exactly this noise model. Recorded alongside as drift diagnostics:
+  medians (the round-4 statistic), per-adjacent-pair ratios, and per-leg
+  idle-host calibration probes (a fixed alloc+copy kernel run immediately
+  before the leg's Spark session starts and after it stops; probes
+  attribute slow legs to a slow host when drift is slower than a leg, but
+  mid-leg fluctuations can defeat boundary timestamps — measured both ways
+  on this host — which is why they diagnose rather than decide).
 
 The headline block runs TWICE in one session: the cold first pass is
 recorded under "unwarmed" (and printed as its own line), the second pass is
@@ -318,14 +314,30 @@ def main() -> None:
             if not (samples[n_small] and samples[n_big]):
                 continue
 
-            # raw medians (round-4 statistic, kept for transparency)
-            sec_n = _median([s["sec"] for s in samples[n_small]])
-            sec_4n = _median([s["sec"] for s in samples[n_big]])
-            speedup_raw = sec_n / sec_4n
+            # medians (round-4 statistic, kept for transparency)
+            sec_n_med = _median([s["sec"] for s in samples[n_small]])
+            sec_4n_med = _median([s["sec"] for s in samples[n_big]])
+            speedup_med = sec_n_med / sec_4n_med
 
-            # probe-normalized: ref = pooled median host-speed index (its
-            # value cancels in every ratio; it only anchors the reported
-            # normalized seconds), norm_sec = sec * idx / ref
+            # HEADLINE statistic: best-of-K (min) per side. Host
+            # co-activity interference is strictly ADDITIVE — a leg can run
+            # slower than the engine's uncontended time, never faster (same
+            # input, fresh JVM per leg, identical warmup) — so the minimum
+            # over K samples is the standard estimator of the uncontended
+            # time (the statistic Python's timeit documents for exactly
+            # this reason). Medians answered the wrong question here:
+            # BENCH_r04's 4N legs spanned 83-162s under drift, and a median
+            # over mostly-contaminated samples reports the contamination.
+            sec_n = min(s["sec"] for s in samples[n_small])
+            sec_4n = min(s["sec"] for s in samples[n_big])
+            speedup = sec_n / sec_4n
+
+            # probe-normalized per-pair ratios, recorded as diagnostics:
+            # the probes time-stamp host speed at leg boundaries, which
+            # attributes drift correctly when drift is slower than a leg
+            # but can overcorrect when co-activity fluctuates mid-leg
+            # (validated both ways on this host), hence diagnostics, not
+            # the headline. ref = pooled median index (cancels in ratios).
             all_idx = [s["probe_idx"] for s in samples[n_small] + samples[n_big]]
             ref = _median(all_idx) or 1.0
 
@@ -334,16 +346,12 @@ def main() -> None:
 
             norm_n = [round(_norm(s), 3) for s in samples[n_small]]
             norm_4n = [round(_norm(s), 3) for s in samples[n_big]]
-            # headline statistic: median of per-adjacent-pair normalized
-            # ratios — robust to inter-pair drift that a ratio-of-medians
-            # double-counts, and each ratio compares the two legs that saw
-            # the most similar host state
             pair_ratios = [
+                round(p[n_small]["sec"] / p[n_big]["sec"], 3) for p in pairs
+            ]
+            pair_ratios_norm = [
                 round(_norm(p[n_small]) / _norm(p[n_big]), 3) for p in pairs
             ]
-            speedup = _median(pair_ratios) if pair_ratios else speedup_raw
-            sec_n_norm = _median(norm_n)
-            sec_4n_norm = _median(norm_4n)
             out["scaling"] = {
                 "cpus_n": n_small,
                 "cpus_4n": n_big,
@@ -355,27 +363,29 @@ def main() -> None:
                 "sec_4n": round(sec_4n, 3),
                 "sec_n_samples": [round(s["sec"], 3) for s in samples[n_small]],
                 "sec_4n_samples": [round(s["sec"], 3) for s in samples[n_big]],
+                "sec_n_median": round(sec_n_med, 3),
+                "sec_4n_median": round(sec_4n_med, 3),
                 "probe_idx_n": [s["probe_idx"] for s in samples[n_small]],
                 "probe_idx_4n": [s["probe_idx"] for s in samples[n_big]],
                 "probe_ref": round(ref, 4),
-                "sec_n_norm": round(sec_n_norm, 3),
-                "sec_4n_norm": round(sec_4n_norm, 3),
                 "sec_n_norm_samples": norm_n,
                 "sec_4n_norm_samples": norm_4n,
                 "pair_ratios": pair_ratios,
-                "docs_per_sec_n": round(sc_docs / sec_n_norm, 2),
-                "docs_per_sec_4n": round(sc_docs / sec_4n_norm, 2),
-                "triples_per_sec_n": round(sc_triples / sec_n_norm, 2),
-                "triples_per_sec_4n": round(sc_triples / sec_4n_norm, 2),
-                "speedup_raw": round(speedup_raw, 3),
-                "efficiency_raw": round(speedup_raw / 4.0, 3),
+                "pair_ratios_norm": pair_ratios_norm,
+                "docs_per_sec_n": round(sc_docs / sec_n, 2),
+                "docs_per_sec_4n": round(sc_docs / sec_4n, 2),
+                "triples_per_sec_n": round(sc_triples / sec_n, 2),
+                "triples_per_sec_4n": round(sc_triples / sec_4n, 2),
+                "speedup_median": round(speedup_med, 3),
+                "efficiency_median": round(speedup_med / 4.0, 3),
                 "speedup": round(speedup, 3),
                 "efficiency": round(speedup / 4.0, 3),
                 "method": (
-                    "speedup = median over ABBA pairs of (probe-normalized "
-                    "sec_N / sec_4N); probe = idle-host alloc+copy index "
-                    "before+after each leg (geomean); *_raw = ratio of raw "
-                    "medians, the round-4 statistic"
+                    "speedup = best-of-K: min(sec_N) / min(sec_4N) over the "
+                    "ABBA legs (interference is additive-only, so min "
+                    "estimates the uncontended engine time — timeit's "
+                    "statistic); medians, per-pair ratios and idle-host "
+                    "probe indices recorded alongside as drift diagnostics"
                 ),
             }
             print(json.dumps(out), flush=True)

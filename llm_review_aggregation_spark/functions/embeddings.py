@@ -332,6 +332,7 @@ def build_fasttext_similarity_model(
     ngram_min: int = 3,
     ngram_max: int = 6,
     joint: bool = True,
+    tie_grams: bool = True,
 ) -> SimilarityModel:
     """M5 — FastText-style subword model (reference: gensim FastText
     skipgram size 100 window 5, concepts/fasttext_wrapper.py:34-67),
@@ -345,12 +346,18 @@ def build_fasttext_similarity_model(
     trained word vector (when in-vocab) and its trained n-gram vectors;
     OOV terms compose from trained n-grams alone. The word-level window
     is scaled by the mean stream tokens per word so the effective
-    word-context width stays comparable to the un-augmented fit. The
-    remaining (documented) gap vs gensim: word vectors are trained as
-    their own tokens rather than constrained to equal their n-gram sum
-    during SGD. Update cost per center word is ~(1 + grams) vector
+    word-context width stays comparable to the un-augmented fit. Update cost per center word is ~(1 + grams) vector
     updates — the same order as real FastText, which also updates every
     n-gram of the center word.
+
+    ``tie_grams=True`` (default, round 5) closes the one gap the joint fit
+    left vs gensim's shared-gradient training (word vectors trained as
+    their own stream tokens, not SGD-constrained to equal their n-gram
+    sum): a post-fit minimum-norm least-squares correction of the gram
+    matrix makes every in-vocab dictionary term's gram-only composition
+    reproduce its exposed composite, so OOV terms compose in the same
+    geometry the in-vocab terms live in (see _tie_gram_vectors; the pinned
+    OOV stem-margin test tightened accordingly).
 
     ``joint=False``: the round-3 post-hoc substitution — word-level fit
     (identical to M4), n-gram vectors synthesized afterwards as the mean
@@ -360,7 +367,7 @@ def build_fasttext_similarity_model(
     if joint:
         return _build_fasttext_joint(
             sentences, terms, window, dim, topn, min_count, epochs, seed,
-            num_partitions, ngram_min, ngram_max,
+            num_partitions, ngram_min, ngram_max, tie_grams,
         )
     model = _fit_word2vec(sentences, terms, window, dim, min_count, epochs, seed, num_partitions)
     keys = {_w2v_term_key(t): t for t in terms}
@@ -425,6 +432,7 @@ def _build_fasttext_joint(
     num_partitions: int,
     ngram_min: int,
     ngram_max: int,
+    tie_grams: bool = True,
 ) -> SimilarityModel:
     """Joint-subword FastText fit (see build_fasttext_similarity_model)."""
     # the training window counts STREAM tokens; each word occupies
@@ -456,19 +464,85 @@ def _build_fasttext_joint(
     wanted_df = spark.createDataFrame([(w,) for w in wanted], "word string")
     rows = model.getVectors().join(F.broadcast(wanted_df), "word").collect()
     vec_of = {r["word"]: np.array(r["vector"].toArray()) for r in rows}
+    in_vocab = [k for k in keys if k in vec_of]
+    tied = _tie_gram_vectors(vec_of, in_vocab, ngram_min, ngram_max) if tie_grams else {}
     vecs = np.zeros((len(terms), dim))
     for i, t in enumerate(terms):
         key = _w2v_term_key(t)
-        parts = [vec_of[key]] if key in vec_of else []
-        parts += [
-            vec_of[g]
-            for w in key.split("_")
-            for g in _char_ngrams(w, ngram_min, ngram_max)
-            if g in vec_of
+        gram_list = [
+            g for w in key.split("_") for g in _char_ngrams(w, ngram_min, ngram_max)
         ]
+        if key in vec_of:
+            # in-vocab: the exposed composite (word vector + trained grams)
+            # — unchanged by tying; the tied grams are FIT to reproduce it
+            parts = [vec_of[key]] + [vec_of[g] for g in gram_list if g in vec_of]
+        else:
+            # OOV: compose from the tied gram space, so a stem of a trained
+            # word reconstructs ~that word's composite
+            parts = [
+                p
+                for p in (tied.get(g, vec_of.get(g)) for g in gram_list)
+                if p is not None
+            ]
         if parts:
             vecs[i] = np.mean(parts, axis=0)
     return SimilarityModel(terms, vecs, topn=topn)
+
+
+def _tie_gram_vectors(
+    vec_of: dict[str, np.ndarray],
+    in_vocab_keys: list[str],
+    ngram_min: int,
+    ngram_max: int,
+) -> dict[str, np.ndarray]:
+    """Post-fit least-squares gram tying — the M5 residual closed.
+
+    gensim FastText ties word and n-gram vectors through shared SGD
+    gradients: the center word's representation IS (word + sum-of-grams),
+    so updating it updates every gram (fasttext_wrapper.py:34-67 fits that
+    model). The joint MLlib fit trains words and grams as separate stream
+    tokens, which leaves the gram space free to drift from the word space;
+    OOV composition then lands near — but not in — the geometry the
+    in-vocab terms live in. This applies the tying as a post-fit
+    constraint: find the minimum-norm correction `delta` to the trained
+    gram matrix `U0` such that every in-vocab dictionary term's GRAM-ONLY
+    mean composition reproduces its exposed (word + grams) composite,
+
+        A @ (U0 + delta) ~= B,   delta = lstsq(A, B - A @ U0)
+
+    where row i of `A` holds the term's gram-mean coefficients and row i of
+    `B` its composite vector. `lstsq` returns the least-squares solution of
+    minimum Frobenius norm, so grams no in-vocab term touches keep their
+    trained vectors exactly, and shared grams move as little as possible.
+    An OOV stem of a trained word (shared grams dominate its list) then
+    reconstructs ~that word's composite — the property the shared-gradient
+    fit provides natively. Bounded driver-side cost: A is
+    (|dictionary| x |dictionary grams|), a few-hundred-square SVD."""
+    gram_lists: dict[str, list[str]] = {}
+    for k in in_vocab_keys:
+        gl = [
+            g
+            for w in k.split("_")
+            for g in _char_ngrams(w, ngram_min, ngram_max)
+            if g in vec_of
+        ]
+        if gl:
+            gram_lists[k] = gl
+    grams = sorted({g for gl in gram_lists.values() for g in gl})
+    if not grams:
+        return {}
+    dim = len(next(iter(vec_of.values())))
+    gidx = {g: j for j, g in enumerate(grams)}
+    A = np.zeros((len(gram_lists), len(grams)))
+    B = np.zeros((len(gram_lists), dim))
+    for i, (k, gl) in enumerate(gram_lists.items()):
+        for g in gl:
+            A[i, gidx[g]] += 1.0 / len(gl)
+        B[i] = np.mean([vec_of[k]] + [vec_of[g] for g in gl], axis=0)
+    U0 = np.stack([vec_of[g] for g in grams])
+    delta, *_ = np.linalg.lstsq(A, B - A @ U0, rcond=None)
+    U = U0 + delta
+    return {g: U[j] for g, j in gidx.items()}
 
 
 def save_similarity_model(model: SimilarityModel, path: str) -> None:
