@@ -33,7 +33,13 @@ def _cached_ids(spark) -> set[int]:
 
 @pytest.fixture()
 def pages(spark):
-    return synth.synthesize_pages(spark, n_groups=2, docs_per_group=6)
+    # docs_per_group=9 is used by NO other suite: Spark's CacheManager keys
+    # cache entries on the canonicalized plan, so a corpus shared with a
+    # long-lived fixture elsewhere would DEDUPE the sentences cache into
+    # that fixture's entry — this run would add no new RDD id and release()
+    # would drop a shared cache, making the assertions racy under the full
+    # suite.
+    return synth.synthesize_pages(spark, n_groups=2, docs_per_group=9)
 
 
 class TestRelease:
